@@ -1,0 +1,29 @@
+"""Space-filling-curve index kernel (pure numpy, no Spark dependency)."""
+
+from .dimensions import LATITUDE, LATITUDE_SQUARE, LONGITUDE, Dimension, split_dateline, temporal_bin_year
+from .geohash import geohash_encode
+from .hilbert import hilbert_to_xy, truncate_to_tier, xy_to_hilbert
+from .tiered import (
+    DEFAULT_MAX_DUPLICATES,
+    JOIN_MAX_DUPLICATES,
+    TieredStrategy,
+)
+from .zorder import xy_to_zorder, zorder_to_xy
+
+__all__ = [
+    "Dimension",
+    "LATITUDE",
+    "LATITUDE_SQUARE",
+    "LONGITUDE",
+    "split_dateline",
+    "temporal_bin_year",
+    "geohash_encode",
+    "xy_to_hilbert",
+    "hilbert_to_xy",
+    "truncate_to_tier",
+    "xy_to_zorder",
+    "zorder_to_xy",
+    "TieredStrategy",
+    "DEFAULT_MAX_DUPLICATES",
+    "JOIN_MAX_DUPLICATES",
+]

@@ -1,0 +1,208 @@
+"""Index-math unit tests (FIXTURES.md F5).
+
+Mirrors the reference's index test strategy (SURVEY.md §5):
+TieredSFCIndexStrategyTest-style tier/duplication expectations,
+Hilbert/Z-order round trips, dateline splitting, geohash known vectors.
+"""
+
+import numpy as np
+import pytest
+
+from geowave_spark.sfc import (
+    DEFAULT_MAX_DUPLICATES,
+    LATITUDE,
+    LONGITUDE,
+    TieredStrategy,
+    geohash_encode,
+    hilbert_to_xy,
+    split_dateline,
+    temporal_bin_year,
+    truncate_to_tier,
+    xy_to_hilbert,
+    xy_to_zorder,
+    zorder_to_xy,
+)
+
+rng = np.random.default_rng(42)
+
+
+class TestHilbert:
+    def test_known_order1(self):
+        # order-1 Hilbert visits (0,0),(0,1),(1,1),(1,0) in d order
+        x = np.array([0, 0, 1, 1], dtype=np.uint64)
+        y = np.array([0, 1, 1, 0], dtype=np.uint64)
+        d = xy_to_hilbert(x, y, 1)
+        assert d.tolist() == [0, 1, 2, 3]
+
+    @pytest.mark.parametrize("bits", [2, 3, 8, 16, 31])
+    def test_round_trip(self, bits):
+        n = 5000
+        hi = (1 << bits) - 1
+        x = rng.integers(0, hi + 1, n).astype(np.uint64)
+        y = rng.integers(0, hi + 1, n).astype(np.uint64)
+        d = xy_to_hilbert(x, y, bits)
+        x2, y2 = hilbert_to_xy(d, bits)
+        np.testing.assert_array_equal(x, x2)
+        np.testing.assert_array_equal(y, y2)
+
+    def test_bijective_small(self):
+        # every cell of the order-4 grid maps to a unique d covering 0..255
+        g = np.arange(16, dtype=np.uint64)
+        gx, gy = np.meshgrid(g, g)
+        d = xy_to_hilbert(gx.ravel(), gy.ravel(), 4)
+        assert sorted(d.tolist()) == list(range(256))
+
+    def test_locality_adjacent(self):
+        # consecutive d values are adjacent grid cells (defining property)
+        d = np.arange(1 << 12, dtype=np.uint64)
+        x, y = hilbert_to_xy(d, 6)
+        step = np.abs(np.diff(x.astype(np.int64))) + np.abs(np.diff(y.astype(np.int64)))
+        assert (step == 1).all()
+
+    @pytest.mark.parametrize("bits", [4, 16, 31])
+    def test_prefix_property(self, bits):
+        """Tier re-projection == bit truncation (TieredSpatialJoin.reprojectToTier analog)."""
+        n = 2000
+        hi = (1 << bits) - 1
+        x = rng.integers(0, hi + 1, n).astype(np.uint64)
+        y = rng.integers(0, hi + 1, n).astype(np.uint64)
+        d_fine = xy_to_hilbert(x, y, bits)
+        for coarser in [bits - 1, max(1, bits // 2)]:
+            sh = np.uint64(bits - coarser)
+            d_coarse = xy_to_hilbert(x >> sh, y >> sh, coarser)
+            np.testing.assert_array_equal(
+                truncate_to_tier(d_fine, bits, coarser), d_coarse
+            )
+
+
+class TestZOrder:
+    @pytest.mark.parametrize("bits", [1, 8, 31])
+    def test_round_trip(self, bits):
+        n = 5000
+        hi = (1 << bits) - 1
+        x = rng.integers(0, hi + 1, n).astype(np.uint64)
+        y = rng.integers(0, hi + 1, n).astype(np.uint64)
+        z = xy_to_zorder(x, y, bits)
+        x2, y2 = zorder_to_xy(z, bits)
+        np.testing.assert_array_equal(x, x2)
+        np.testing.assert_array_equal(y, y2)
+
+    def test_interleave_known(self):
+        z = xy_to_zorder(np.array([0b11], dtype=np.uint64), np.array([0b10], dtype=np.uint64), 2)
+        # y1 x1 y0 x0 = 1 1 0 1 = 13
+        assert z[0] == 0b1101
+
+
+class TestTiered:
+    strat = TieredStrategy(max_bits=31)
+
+    def test_point_lands_top_tier(self):
+        """A point always gets exactly one id in the top tier
+        (TieredSFCIndexStrategy.java:345-407 fast path)."""
+        row, tier, cell = self.strat.envelope_insertion_ids(
+            np.array([10.0]), np.array([20.0]), np.array([10.0]), np.array([20.0])
+        )
+        assert len(row) == 1 and tier[0] == 31
+
+    def test_hemisphere_duplicates(self):
+        """Analog of TieredSFCIndexStrategyTest:160-190 — an envelope
+        spanning half the domain in one dim and epsilon in the other gets 2
+        ids one tier down; a quarter-domain square gets 1 id at tier 2... etc."""
+        # envelope covering x in [-180, 0), tiny y: at tier 1 spans 1 x-cell
+        # if aligned; offset so it straddles the tier-31 midpoint of a tier-1 cell
+        row, tier, cell = self.strat.envelope_insertion_ids(
+            np.array([-170.0]), np.array([1.0]), np.array([-100.0]), np.array([1.0]),
+            max_duplicates=DEFAULT_MAX_DUPLICATES,
+        )
+        # extent 70° of 360° → at tier 2 (cell=90°) spans ≤2 cells → ≤4 dups
+        assert tier[0] >= 2 and len(row) <= DEFAULT_MAX_DUPLICATES
+
+    def test_tier_monotone_and_bounded(self):
+        n = 500
+        cx = rng.uniform(-170, 170, n)
+        cy = rng.uniform(-80, 80, n)
+        w = 10 ** rng.uniform(-6, 1.2, n)
+        row, tier, cell = self.strat.envelope_insertion_ids(
+            cx - w, cy - w, cx + w, cy + w, max_duplicates=4
+        )
+        counts = np.bincount(row, minlength=n)
+        assert (counts >= 1).all() and (counts <= 4).all()
+        # a strictly smaller envelope never gets a coarser tier
+        row2, tier2, _ = self.strat.envelope_insertion_ids(
+            cx - w / 4, cy - w / 4, cx + w / 4, cy + w / 4, max_duplicates=4
+        )
+        t_by_row = np.full(n, -1); t_by_row[row] = tier
+        t2_by_row = np.full(n, -1); t2_by_row[row2] = tier2
+        assert (t2_by_row >= t_by_row).all()
+
+    def test_insertion_cells_cover_envelope(self):
+        """Every point inside the envelope maps (at the chosen tier) to one
+        of the emitted cells — no false negatives."""
+        n = 200
+        cx = rng.uniform(-170, 170, n)
+        cy = rng.uniform(-80, 80, n)
+        w = 10 ** rng.uniform(-4, 0.5, n)
+        row, tier, cell = self.strat.envelope_insertion_ids(cx - w, cy - w, cx + w, cy + w, 80)
+        for i in rng.choice(n, 25, replace=False):
+            m = row == i
+            t = int(tier[m][0])
+            px = rng.uniform(cx[i] - w[i], cx[i] + w[i], 20)
+            py = rng.uniform(cy[i] - w[i], cy[i] + w[i], 20)
+            ix = self.strat.dim_x.to_bins(px, t)
+            iy = self.strat.dim_y.to_bins(py, t)
+            pc = xy_to_hilbert(ix, iy, t) if t > 0 else np.zeros(20, dtype=np.uint64)
+            assert np.isin(pc.astype(np.int64), cell[m]).all()
+
+    def test_decompose_bbox_covers(self):
+        tier, ranges = self.strat.decompose_bbox(-10, -10, 10, 10)
+        assert ranges
+        # random points in the bbox fall inside some range at that tier
+        px = rng.uniform(-10, 10, 200)
+        py = rng.uniform(-10, 10, 200)
+        ix = self.strat.dim_x.to_bins(px, tier)
+        iy = self.strat.dim_y.to_bins(py, tier)
+        ids = xy_to_hilbert(ix, iy, tier).astype(np.int64)
+        lo = np.array([r[0] for r in ranges])
+        hi = np.array([r[1] for r in ranges])
+        covered = ((ids[:, None] >= lo[None, :]) & (ids[:, None] <= hi[None, :])).any(axis=1)
+        assert covered.all()
+
+    def test_decompose_range_cap(self):
+        _, ranges = self.strat.decompose_bbox(-170, -80, 170, 80, max_ranges=16)
+        assert len(ranges) <= 16
+
+
+class TestDimensions:
+    def test_dateline_split(self):
+        (a_lo, a_hi), (b_lo, b_hi) = split_dateline(np.array([170.0, 0.0]), np.array([-170.0, 10.0]))
+        assert a_lo[0] == 170 and a_hi[0] == 180 and b_lo[0] == -180 and b_hi[0] == -170
+        assert a_lo[1] == 0 and a_hi[1] == 10 and np.isnan(b_lo[1])
+
+    def test_normalize_clamp(self):
+        assert LONGITUDE.to_bins(np.array([180.0]), 4)[0] == 15
+        assert LATITUDE.to_bins(np.array([-95.0]), 4)[0] == 0
+
+    def test_temporal_bin_year(self):
+        ms = np.array(
+            [np.datetime64("2020-01-01T00:00:00", "ms").astype(np.int64),
+             np.datetime64("2020-07-02T00:00:00", "ms").astype(np.int64)]
+        )
+        yid, pos = temporal_bin_year(ms)
+        assert yid.tolist() == [2020, 2020]
+        assert pos[0] == 0.0 and 0.49 < pos[1] < 0.51
+
+
+class TestGeohash:
+    def test_known_vectors(self):
+        # public geohash reference points
+        gh = geohash_encode(np.array([-5.6]), np.array([42.6]), 5)
+        assert gh[0] == "ezs42"
+        gh = geohash_encode(np.array([13.361389]), np.array([38.115556]), 8)
+        assert gh[0].startswith("sqc8b49r"[:8])
+
+    def test_prefix_consistency(self):
+        lon = rng.uniform(-180, 180, 200)
+        lat = rng.uniform(-90, 90, 200)
+        g7 = geohash_encode(lon, lat, 7)
+        g4 = geohash_encode(lon, lat, 4)
+        assert all(a.startswith(b) for a, b in zip(g7, g4))
