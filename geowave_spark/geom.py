@@ -1,0 +1,167 @@
+"""Vectorized planar geometry (pure numpy — shapely is unavailable here).
+
+Implements the exact-predicate math GeoWave gets from JTS
+(core/geotime/.../store/query/filter/SpatialQueryFilter.java predicates,
+analytics/spark/.../sparksql/udf/{GeomIntersects,GeomWithinDistance,
+GeomDistance}.java): point-in-polygon, point↔segment/polygon distance,
+envelope intersection — the fine-filter stage that runs after the coarse
+cell-range join.
+
+Polygons are (N, 2) float arrays of exterior-ring vertices (closed or open;
+holes are out of scope for v1 — the reference fixtures are simple rings).
+A minimal WKT POLYGON/POINT parser round-trips the fixture format.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# --- WKT (minimal: POINT, POLYGON without holes) -------------------------
+
+def parse_wkt(wkt: str) -> tuple[str, np.ndarray]:
+    """Parse 'POINT (x y)' or 'POLYGON ((x y, ...))' → (kind, coords)."""
+    s = wkt.strip()
+    kind = s.split("(", 1)[0].strip().upper()
+    body = s[s.index("(") :].replace("(", " ").replace(")", " ").strip()
+    pts = np.array(
+        [[float(t) for t in pair.split()] for pair in body.split(",")],
+        dtype=np.float64,
+    )
+    return kind, pts
+
+
+def polygon_wkt(coords: np.ndarray) -> str:
+    ring = coords
+    if not np.array_equal(ring[0], ring[-1]):
+        ring = np.vstack([ring, ring[:1]])
+    inner = ", ".join(f"{x:.9g} {y:.9g}" for x, y in ring)
+    return f"POLYGON (({inner}))"
+
+
+# --- predicates -----------------------------------------------------------
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray, poly: np.ndarray) -> np.ndarray:
+    """Ray-casting point-in-polygon, boundary-inclusive, vectorized over points."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    ring = poly
+    if np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+    x1, y1 = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    # (P, E) edge crossing test
+    pyv = py[:, None]
+    pxv = px[:, None]
+    cond = (y1[None, :] > pyv) != (y2[None, :] > pyv)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1[None, :] + (pyv - y1[None, :]) / (y2[None, :] - y1[None, :]) * (
+            x2[None, :] - x1[None, :]
+        )
+    crossings = (cond & (pxv < xint)).sum(axis=1)
+    inside = (crossings % 2) == 1
+    return inside | (points_segments_dist2(px, py, ring) == 0.0)
+
+
+def points_segments_dist2(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Min squared distance from each point to the ring's edges."""
+    x1, y1 = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    dx, dy = x2 - x1, y2 - y1
+    seg_len2 = dx * dx + dy * dy
+    seg_len2 = np.where(seg_len2 == 0, 1.0, seg_len2)
+    t = ((px[:, None] - x1[None, :]) * dx[None, :] + (py[:, None] - y1[None, :]) * dy[None, :]) / seg_len2[None, :]
+    t = np.clip(t, 0.0, 1.0)
+    cx = x1[None, :] + t * dx[None, :]
+    cy = y1[None, :] + t * dy[None, :]
+    d2 = (px[:, None] - cx) ** 2 + (py[:, None] - cy) ** 2
+    return d2.min(axis=1)
+
+
+def points_polygon_dist2(px: np.ndarray, py: np.ndarray, poly: np.ndarray) -> np.ndarray:
+    """Squared distance point→polygon (0 inside)."""
+    ring = poly if not np.array_equal(poly[0], poly[-1]) else poly[:-1]
+    d2 = points_segments_dist2(np.asarray(px, float), np.asarray(py, float), ring)
+    inside = points_in_polygon(px, py, poly)
+    return np.where(inside, 0.0, d2)
+
+
+def polygon_envelope(poly: np.ndarray) -> tuple[float, float, float, float]:
+    return (
+        float(poly[:, 0].min()),
+        float(poly[:, 1].min()),
+        float(poly[:, 0].max()),
+        float(poly[:, 1].max()),
+    )
+
+
+def envelopes_intersect(
+    a: tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray],
+    b: tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray],
+) -> np.ndarray:
+    aminx, aminy, amaxx, amaxy = a
+    bminx, bminy, bmaxx, bmaxy = b
+    return (aminx <= bmaxx) & (bminx <= amaxx) & (aminy <= bmaxy) & (bminy <= amaxy)
+
+
+def cell_rect_intersects_polygon(
+    cminx: np.ndarray, cminy: np.ndarray, cmaxx: np.ndarray, cmaxy: np.ndarray, poly: np.ndarray
+) -> np.ndarray:
+    """Does each axis-aligned cell rectangle intersect the polygon?
+
+    Used for insertion-id trimming (reference: RDDUtils.trimIndexIds,
+    analytics/spark/.../RDDUtils.java:158-184 — drop cells whose rectangle
+    misses the geometry, applied only when an entity got >3 cells).
+    Exact for convex and non-convex rings: rect∩poly ≠ ∅ iff a rect corner
+    is in the poly, a poly vertex is in the rect, or edges cross.
+    """
+    n = len(cminx)
+    out = np.zeros(n, dtype=bool)
+    ring = poly if not np.array_equal(poly[0], poly[-1]) else poly[:-1]
+    # poly vertex inside rect
+    vx, vy = ring[:, 0], ring[:, 1]
+    out |= (
+        (vx[None, :] >= cminx[:, None])
+        & (vx[None, :] <= cmaxx[:, None])
+        & (vy[None, :] >= cminy[:, None])
+        & (vy[None, :] <= cmaxy[:, None])
+    ).any(axis=1)
+    # rect corner inside poly
+    for cx, cy in ((cminx, cminy), (cminx, cmaxy), (cmaxx, cminy), (cmaxx, cmaxy)):
+        todo = ~out
+        if todo.any():
+            out[todo] |= points_in_polygon(cx[todo], cy[todo], poly)
+    # edge crossings: segment vs rect via separating-axis on each poly edge
+    todo = np.nonzero(~out)[0]
+    if len(todo):
+        x1, y1 = ring[:, 0], ring[:, 1]
+        x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+        for i in todo:
+            out[i] = _segments_hit_rect(
+                x1, y1, x2, y2, cminx[i], cminy[i], cmaxx[i], cmaxy[i]
+            )
+    return out
+
+
+def _segments_hit_rect(x1, y1, x2, y2, rminx, rminy, rmaxx, rmaxy) -> bool:
+    """Liang-Barsky style clip test: does any segment intersect the rect?"""
+    dx = x2 - x1
+    dy = y2 - y1
+    t0 = np.zeros_like(x1)
+    t1 = np.ones_like(x1)
+    ok = np.ones(x1.shape, dtype=bool)
+    for p, q in (
+        (-dx, x1 - rminx),
+        (dx, rmaxx - x1),
+        (-dy, y1 - rminy),
+        (dy, rmaxy - y1),
+    ):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = q / p
+        par_out = (p == 0) & (q < 0)
+        ok &= ~par_out
+        ent = np.where(p < 0, r, -np.inf)
+        ext = np.where(p > 0, r, np.inf)
+        t0 = np.maximum(t0, np.where(np.isfinite(ent), ent, t0))
+        t1 = np.minimum(t1, np.where(np.isfinite(ext), ext, t1))
+    return bool((ok & (t0 <= t1)).any())

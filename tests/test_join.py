@@ -1,0 +1,128 @@
+"""Spatial-join row-set parity vs brute-force oracles (FIXTURES.md F3).
+
+Mirrors GeoWaveSparkSpatialJoinIT: indexed tiered join row set must equal
+the brute-force cross-join row set (`except → count()==0` both ways,
+test/.../GeoWaveSparkSpatialJoinIT.java:111-172).  Oracles are numpy
+cross products — exact, no index involved.
+"""
+
+import numpy as np
+import pytest
+
+from geowave_spark.geom import parse_wkt, points_in_polygon, points_polygon_dist2
+from geowave_spark.operators.join import (
+    distance_join,
+    point_in_polygon_join,
+    polygon_distance_join,
+)
+from geowave_spark.sources.fixtures import points_pdf, regions_pdf
+
+N_POINTS = 1200
+N_REGIONS = 120
+RADIUS = 0.75
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    return spark.createDataFrame(points_pdf(N_POINTS)).cache()
+
+
+@pytest.fixture(scope="module")
+def points_b(spark):
+    return (
+        spark.createDataFrame(points_pdf(400, seed=7))
+        .withColumnRenamed("image_id", "other_id")
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def regions(spark):
+    return spark.createDataFrame(regions_pdf(N_REGIONS)).cache()
+
+
+def _pairs(df, a, b):
+    return set(map(tuple, df.select(a, b).collect()))
+
+
+def oracle_distance(pa, pb, r):
+    ax = pa["lon"].to_numpy()[:, None]
+    ay = pa["lat"].to_numpy()[:, None]
+    bx = pb["lon"].to_numpy()[None, :]
+    by = pb["lat"].to_numpy()[None, :]
+    hit = (ax - bx) ** 2 + (ay - by) ** 2 <= r * r
+    ii, jj = np.nonzero(hit)
+    return {(pa["image_id"].iloc[i], pb.iloc[j, 0]) for i, j in zip(ii, jj)}
+
+
+class TestDistanceJoin:
+    def test_parity_vs_bruteforce(self, spark, points, points_b):
+        got = _pairs(
+            distance_join(points, points_b, RADIUS, "image_id", "other_id"),
+            "image_id",
+            "other_id",
+        )
+        want = oracle_distance(points_pdf(N_POINTS), points_pdf(400, seed=7), RADIUS)
+        assert got == want
+        assert len(want) > 20  # fixture actually produces matches
+
+    def test_self_join_parity(self, spark, points):
+        right = points.select(
+            points.image_id.alias("rid"), "lon", "lat"
+        )
+        got = _pairs(
+            distance_join(points, right, 0.05, "image_id", "rid"), "image_id", "rid"
+        )
+        pa = points_pdf(N_POINTS)
+        pb = pa.rename(columns={"image_id": "rid"})
+        want = oracle_distance(pa, pb[["rid", "lon", "lat"]], 0.05)
+        assert got == want
+
+    def test_negative_join(self, spark, points, points_b):
+        got = {r[0] for r in distance_join(
+            points, points_b, RADIUS, "image_id", "other_id", negative=True
+        ).collect()}
+        matched = {a for a, _ in oracle_distance(points_pdf(N_POINTS), points_pdf(400, seed=7), RADIUS)}
+        want = set(points_pdf(N_POINTS)["image_id"]) - matched
+        assert got == want
+
+    def test_salted_join_same_rows(self, spark, points, points_b):
+        got = _pairs(
+            distance_join(points, points_b, RADIUS, "image_id", "other_id", salt=4),
+            "image_id",
+            "other_id",
+        )
+        want = oracle_distance(points_pdf(N_POINTS), points_pdf(400, seed=7), RADIUS)
+        assert got == want
+
+
+class TestPolygonJoins:
+    def test_pip_parity(self, spark, points, regions):
+        got = _pairs(
+            point_in_polygon_join(points, regions, "image_id", "region_id"),
+            "image_id",
+            "region_id",
+        )
+        pa = points_pdf(N_POINTS)
+        want = set()
+        for _, row in regions_pdf(N_REGIONS).iterrows():
+            poly = parse_wkt(row.wkt)[1]
+            hit = points_in_polygon(pa["lon"].to_numpy(), pa["lat"].to_numpy(), poly)
+            want |= {(pa["image_id"].iloc[i], row.region_id) for i in np.nonzero(hit)[0]}
+        assert got == want
+        assert len(want) > 20
+
+    def test_polygon_distance_parity(self, spark, points, regions):
+        r = 0.5
+        got = _pairs(
+            polygon_distance_join(points, regions, r, "image_id", "region_id"),
+            "image_id",
+            "region_id",
+        )
+        pa = points_pdf(N_POINTS)
+        want = set()
+        for _, row in regions_pdf(N_REGIONS).iterrows():
+            poly = parse_wkt(row.wkt)[1]
+            d2 = points_polygon_dist2(pa["lon"].to_numpy(), pa["lat"].to_numpy(), poly)
+            want |= {(pa["image_id"].iloc[i], row.region_id) for i in np.nonzero(d2 <= r * r)[0]}
+        assert got == want
