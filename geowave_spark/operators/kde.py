@@ -1,0 +1,79 @@
+"""Kernel density estimation over a cell grid — Catalyst-native.
+
+Re-expression of GeoWave's KDE job (analytics/spark/.../kde/KDERunner.java:135-317
++ GaussianCellMapper / GaussianFilter, analytics/mapreduce/.../kde/
+GaussianFilter.java:32-36,262-283): each point smears a Gaussian kernel
+(σ=1, radius 3 → 7×7 stencil) over its neighborhood in a 2^(l+1) × 2^l cell
+grid; cell weights are summed, normalized, and ranked into percentiles
+(KDERunner.java:252-291 sort + zipWithIndex → here a window percent_rank).
+
+Spark shape: the stencil is a 49-row broadcast literal table (weights are
+*precomputed decimal constants* so an external SQL oracle can reproduce the
+sums bit-for-bit); smear = crossJoin(broadcast(stencil)); aggregation is a
+partial+final hash agg on the cell key; ranking is one window.  No UDFs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+KERNEL_RADIUS = 3
+KERNEL_SIGMA = 1.0
+
+
+def gaussian_stencil() -> list[tuple[int, int, float]]:
+    """The 7×7 kernel as (dx, dy, weight) rows, weights rounded to 12
+    decimals so they are exact literals in any SQL dialect."""
+    out = []
+    for dx in range(-KERNEL_RADIUS, KERNEL_RADIUS + 1):
+        for dy in range(-KERNEL_RADIUS, KERNEL_RADIUS + 1):
+            w = math.exp(-(dx * dx + dy * dy) / (2.0 * KERNEL_SIGMA * KERNEL_SIGMA))
+            out.append((dx, dy, round(w, 12)))
+    return out
+
+
+def kde(
+    points: DataFrame,
+    level: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    weight: str | None = None,
+) -> DataFrame:
+    """→ (cx, cy, weight, pct) cell densities at the given pyramid level.
+
+    Grid is 2^(level+1) × 2^level cells over lon×lat (KDERunner grid shape).
+    ``pct`` is the percentile of the cell's weight among non-empty cells
+    (descending-weight percentile per KDERunner.java:282-291).
+    """
+    nx = 1 << (level + 1)
+    ny = 1 << level
+    spark = points.sparkSession
+    stencil = spark.createDataFrame(gaussian_stencil(), "dx int, dy int, w double")
+
+    base = points.select(
+        F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * nx).cast("long").alias("_px"),
+        F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * ny).cast("long").alias("_py"),
+        (F.col(weight) if weight else F.lit(1.0)).alias("_w0"),
+    ).select(
+        F.least(F.lit(nx - 1), F.greatest(F.lit(0), F.col("_px"))).alias("_px"),
+        F.least(F.lit(ny - 1), F.greatest(F.lit(0), F.col("_py"))).alias("_py"),
+        "_w0",
+    )
+
+    smeared = (
+        base.crossJoin(F.broadcast(stencil))
+        .select(
+            (F.col("_px") + F.col("dx")).alias("cx"),
+            (F.col("_py") + F.col("dy")).alias("cy"),
+            (F.col("_w0") * F.col("w")).alias("_w"),
+        )
+        .where(
+            (F.col("cx") >= 0) & (F.col("cx") < nx) & (F.col("cy") >= 0) & (F.col("cy") < ny)
+        )
+    )
+    cells = smeared.groupBy("cx", "cy").agg(F.sum("_w").alias("weight"))
+    win = Window.orderBy(F.col("weight").asc(), F.col("cx").asc(), F.col("cy").asc())
+    return cells.withColumn("pct", F.percent_rank().over(win))

@@ -1,0 +1,138 @@
+"""kNN (FIXTURES.md F6) and KDE (F7) parity vs numpy oracles."""
+
+import math
+
+import numpy as np
+import pytest
+
+from geowave_spark.operators.binning import bbox_agg, binned_agg, fixed_bin_histogram, subsample_per_cell
+from geowave_spark.operators.kde import gaussian_stencil, kde
+from geowave_spark.operators.knn import knn_join
+from geowave_spark.sources.fixtures import points_pdf
+
+from pyspark.sql import functions as F
+
+N = 900
+
+
+@pytest.fixture(scope="module")
+def pts_pdf():
+    return points_pdf(N)
+
+
+@pytest.fixture(scope="module")
+def pts(spark, pts_pdf):
+    return spark.createDataFrame(pts_pdf).cache()
+
+
+def oracle_knn(pdf, k, max_dist, exclude_self=True):
+    """Brute-force per-point neighbor lists with (d2, id) tie-break."""
+    x = pdf["lon"].to_numpy()
+    y = pdf["lat"].to_numpy()
+    ids = pdf["image_id"].to_numpy()
+    out = {}
+    d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+    for i in range(len(pdf)):
+        cand = [
+            (d2[i, j], ids[j]) for j in range(len(pdf))
+            if d2[i, j] <= max_dist * max_dist and (not exclude_self or j != i)
+        ]
+        cand.sort()
+        out[ids[i]] = [(c, r + 1) for r, (_, c) in enumerate(cand[:k])]
+    return out
+
+
+@pytest.mark.parametrize("k,max_dist", [(1, 0.05), (5, 0.2)])
+def test_knn_parity(spark, pts, pts_pdf, k, max_dist):
+    got_rows = knn_join(
+        pts,
+        pts.select(pts.image_id.alias("cid"), "lon", "lat"),
+        k=k,
+        max_distance=max_dist,
+        query_id="image_id",
+        candidate_id="cid",
+        exclude_self=True,
+    ).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["image_id"], []).append((r["cid"], r["rank"]))
+    for qid in got:
+        got[qid].sort(key=lambda t: t[1])
+    want = {q: v for q, v in oracle_knn(pts_pdf, k, max_dist).items() if v}
+    assert got == want
+    assert len(want) > 50  # skewed clusters guarantee neighbors
+
+
+def test_kde_parity(spark, pts, pts_pdf):
+    level = 4
+    nx, ny = 1 << (level + 1), 1 << level
+    got = {(r["cx"], r["cy"]): r["weight"] for r in kde(pts, level).collect()}
+    # numpy oracle using the same decimal-constant stencil
+    grid = np.zeros((nx, ny))
+    px = np.clip(np.floor((pts_pdf["lon"].to_numpy() + 180.0) / 360.0 * nx).astype(int), 0, nx - 1)
+    py = np.clip(np.floor((pts_pdf["lat"].to_numpy() + 90.0) / 180.0 * ny).astype(int), 0, ny - 1)
+    for dx, dy, w in gaussian_stencil():
+        cx = px + dx
+        cy = py + dy
+        m = (cx >= 0) & (cx < nx) & (cy >= 0) & (cy < ny)
+        np.add.at(grid, (cx[m], cy[m]), w)
+    want = {(i, j): grid[i, j] for i in range(nx) for j in range(ny) if grid[i, j] > 0}
+    assert set(got) == set(want)
+    for key in want:
+        assert math.isclose(got[key], want[key], rel_tol=1e-9), key
+    # percentile sanity: max-weight cell has pct == 1.0
+    top = max(got, key=got.get)
+    rows = {(r["cx"], r["cy"]): r["pct"] for r in kde(pts, level).collect()}
+    assert rows[top] == 1.0
+
+
+def test_binned_agg_grid(spark, pts, pts_pdf):
+    got = {
+        (r["cx"], r["cy"]): r["n"]
+        for r in binned_agg(pts, [F.count(F.lit(1)).alias("n")], cell_deg=10.0).collect()
+    }
+    cx = np.floor((pts_pdf["lon"].to_numpy() + 180) / 10).astype(int)
+    cy = np.floor((pts_pdf["lat"].to_numpy() + 90) / 10).astype(int)
+    import collections
+
+    want = collections.Counter(zip(cx.tolist(), cy.tolist()))
+    assert got == dict(want)
+
+
+def test_binned_agg_geohash_and_hilbert(spark, pts):
+    total = pts.count()
+    gh = binned_agg(pts, [F.count(F.lit(1)).alias("n")], scheme="geohash", geohash_precision=3)
+    hb = binned_agg(pts, [F.count(F.lit(1)).alias("n")], scheme="hilbert", tier=8)
+    assert gh.agg(F.sum("n")).first()[0] == total
+    assert hb.agg(F.sum("n")).first()[0] == total
+
+
+def test_bbox_agg(spark, pts, pts_pdf):
+    r = bbox_agg(pts).first()
+    assert r["minx"] == pts_pdf["lon"].min() and r["maxy"] == pts_pdf["lat"].max()
+
+
+def test_fixed_bin_histogram(spark, pts, pts_pdf):
+    got = {r["bin"]: r["cnt"] for r in fixed_bin_histogram(pts, "lon", -180, 180, 16).collect()}
+    bins = np.clip(np.floor((pts_pdf["lon"].to_numpy() + 180) / 360 * 16).astype(int), 0, 15)
+    import collections
+
+    want = collections.Counter(bins.tolist())
+    assert got == dict(want)
+
+
+def test_subsample_one_per_cell(spark, pts):
+    out = subsample_per_cell(pts, order_by="image_id", cell_deg=10.0)
+    cnt = out.groupBy("cx", "cy").count()
+    assert cnt.where(F.col("count") > 1).count() == 0
+    # deterministic: picks min image_id per cell
+    row = out.orderBy("cx", "cy").first()
+    full = pts.withColumn("cx", F.floor((F.col("lon") + 180) / 10)).withColumn(
+        "cy", F.floor((F.col("lat") + 90) / 10)
+    )
+    want = (
+        full.where((F.col("cx") == row["cx"]) & (F.col("cy") == row["cy"]))
+        .agg(F.min("image_id"))
+        .first()[0]
+    )
+    assert row["image_id"] == want
