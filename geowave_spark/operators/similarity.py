@@ -1,0 +1,230 @@
+"""Similarity search over an embedding column (array<float>).
+
+Training-data-pipeline operators (driver brief):
+
+- ``brute_topk``: exact cosine top-k.  Two execution paths:
+  * ``catalyst=True``: pure built-in expressions (zip_with/aggregate dot
+    product) — no Python, fully oracle-checkable.
+  * default: broadcast the (small) query matrix and run a vectorized numpy
+    matmul per Arrow batch of candidates — the 100 TB path (query side is
+    a dim×Q float32 matrix in every executor; one pass over the corpus,
+    per-batch top-k partial then global window).
+- ``ivf_topk``: IVF-style ANN — corpus bucketed by nearest of C coarse
+  centroids (k-means on a driver-side sample; deterministic seed); probes
+  search only the ``nprobe`` nearest buckets.  Equi-join on bucket id, so
+  the scan cost drops by ~C/nprobe vs brute force.
+- ``cosine_neardup_pairs``: embedding near-duplicate pairs via random
+  hyperplane LSH (sign bits → bucket equi-join) + exact cosine verify.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType, StructField, StructType
+
+
+def _cosine_expr(a: str, b: str):
+    """Catalyst cosine similarity between two array<double> columns."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def brute_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    catalyst: bool = False,
+    exclude_self: bool = False,
+    include_sim: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank[, sim]).
+
+    Deterministic tie-break (−sim, neighbor_id)."""
+    q = queries.select(
+        F.col(query_id).alias("_qid"),
+        F.col(query_vec).cast("array<double>").alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("_nid"),
+        F.col(corpus_vec).cast("array<double>").alias("_nv"),
+    )
+    if catalyst:
+        scored = q.crossJoin(c).withColumn("_sim", _cosine_expr("_qv", "_nv"))
+    else:
+        q_rows = q.collect()
+        qids = [r["_qid"] for r in q_rows]
+        qm = np.array([r["_qv"] for r in q_rows], dtype=np.float64)
+        qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        spark = queries.sparkSession
+        bc = spark.sparkContext.broadcast((qids, qn))
+
+        out_schema = StructType(
+            [
+                StructField("_qid", LongType()),
+                StructField("_nid", LongType()),
+                StructField("_sim", DoubleType()),
+            ]
+        )
+
+        def _score(batches):
+            ids, qmat = bc.value
+            for pdf in batches:
+                nm = np.array(pdf["_nv"].tolist(), dtype=np.float64)
+                nm = nm / np.linalg.norm(nm, axis=1, keepdims=True)
+                sims = qmat @ nm.T  # (Q, B)
+                B = sims.shape[1]
+                yield pd.DataFrame(
+                    {
+                        "_qid": np.repeat(ids, B),
+                        "_nid": np.tile(pdf["_nid"].to_numpy(), len(ids)),
+                        "_sim": sims.ravel(),
+                    }
+                )
+
+        scored = c.mapInPandas(_score, out_schema)
+
+    if exclude_self:
+        scored = scored.where(F.col("_qid") != F.col("_nid"))
+    w = Window.partitionBy("_qid").orderBy(F.col("_sim").desc(), F.col("_nid").asc())
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id if query_id != corpus_id else "query_id"),
+            F.col("_nid").alias("neighbor_id"),
+            "rank",
+            F.round(F.col("_sim"), 6).alias("sim"),
+        )
+    )
+    if not include_sim:
+        out = out.drop("sim")
+    return out
+
+
+def train_centroids(corpus: DataFrame, num_centroids: int, vec: str = "embedding", sample: int = 10000, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Driver-side k-means (Lloyd) on a deterministic sample → (C, dim)."""
+    pdf = corpus.select(F.col(vec).cast("array<double>")).limit(sample).collect()
+    X = np.array([r[0] for r in pdf], dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), num_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ cent.T, axis=1)
+        for j in range(num_centroids):
+            m = assign == j
+            if m.any():
+                v = X[m].mean(axis=0)
+                cent[j] = v / np.linalg.norm(v)
+    return cent
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVF approximate top-k: bucket corpus by nearest centroid, probe the
+    ``nprobe`` nearest buckets per query — equi-join on bucket id."""
+    cent = train_centroids(corpus, num_centroids, vec)
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast(cent)
+
+    @F.pandas_udf(IntegerType())
+    def _bucket(v: pd.Series) -> pd.Series:
+        X = np.array(v.tolist(), dtype=np.float64)
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        return pd.Series(np.argmax(X @ bc.value.T, axis=1).astype(np.int32))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _probes(v: pd.Series) -> pd.Series:
+        X = np.array(v.tolist(), dtype=np.float64)
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        sims = X @ bc.value.T
+        order = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    c = corpus.select(
+        F.col(corpus_id).alias("_nid"),
+        F.col(vec).cast("array<double>").alias("_nv"),
+        _bucket(F.col(vec)).alias("_bkt"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("_qid"),
+        F.col(vec).cast("array<double>").alias("_qv"),
+        F.explode(_probes(F.col(vec))).alias("_bkt"),
+    )
+    scored = q.join(c, "_bkt").withColumn("_sim", _cosine_expr("_qv", "_nv"))
+    if exclude_self:
+        scored = scored.where(F.col("_qid") != F.col("_nid"))
+    w = Window.partitionBy("_qid").orderBy(F.col("_sim").desc(), F.col("_nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("_qid").alias("query_id"), F.col("_nid").alias("neighbor_id"), "rank")
+    )
+
+
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    bands: int = 4,
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ threshold) via random
+    hyperplane LSH banding + exact verify."""
+    dim = len(corpus.select(vec).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, dim))
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(planes)
+    per_band = num_planes // bands
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _bandsig(v: pd.Series) -> pd.Series:
+        X = np.array(v.tolist(), dtype=np.float64)
+        bits = (X @ bc.value.T > 0).astype(np.uint64)  # (N, P)
+        out = []
+        for row in bits:
+            sigs = []
+            for b in range(bands):
+                chunk = row[b * per_band : (b + 1) * per_band]
+                val = np.uint64(0)
+                for bit in chunk:
+                    val = (val << np.uint64(1)) | np.uint64(bit)
+                sigs.append(int((np.uint64(b) << np.uint64(56)) | val))
+            out.append(sigs)
+        return pd.Series(out)
+
+    sig = corpus.select(
+        F.col(corpus_id).alias("_id"),
+        F.col(vec).cast("array<double>").alias("_v"),
+        F.explode(_bandsig(F.col(vec))).alias("_bucket"),
+    )
+    a = sig.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_bucket")
+    b = sig.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_bucket")
+    return (
+        a.join(b, "_bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("sim", _cosine_expr("_va", "_vb"))
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )
