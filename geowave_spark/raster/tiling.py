@@ -160,7 +160,7 @@ def merge_tiles(tiles: DataFrame, tile_size: int = 16) -> DataFrame:
     iterate sources in image_id order; later sources only fill pixels that
     are still nodata (all-zero)."""
 
-    def _merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _merge(key, pdf):
         pdf = pdf.sort_values("image_id")
         acc = None
         for raw in pdf["tile"]:
@@ -235,7 +235,7 @@ def resize_tiles(tiles: DataFrame, old_size: int, new_size: int) -> DataFrame:
             "_pcell", F.shiftrightunsigned("cell", 2 * k)
         )
 
-        def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def _assemble(key, pdf):
             big = np.zeros((new_size, new_size, 3), dtype=np.uint8)
             for r in pdf.itertuples(index=False):
                 cx, cy = hilbert_to_xy(np.array([r.cell], dtype=np.uint64), int(r.tier))

@@ -1,0 +1,239 @@
+"""Raster codec + tiling invariants (FIXTURES.md F4).
+
+Mirrors the reference's raster ITs: pixel-exactness across tile sizes and
+merge paths (CustomCRSKDERasterResizeIT), PSNR≥40dB for the lossy format,
+caption equality through the pipeline (BASELINE.json input_hint).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geowave_spark.raster.codec import (
+    decode_image,
+    encode_image,
+    psnr,
+)
+from geowave_spark.raster.tiling import (
+    _cells_for_envelope,
+    _resample_into_cell,
+    merge_tiles,
+    mosaic,
+    pick_tier,
+    resize_tiles,
+    tile_images,
+)
+from geowave_spark.sfc.tiered import TieredStrategy
+from geowave_spark.sources.images import (
+    gen_images_pdf,
+    gen_pixels,
+    images_table,
+    phash64,
+    with_geometry,
+)
+
+rng = np.random.default_rng(42)
+
+
+class TestCodecs:
+    @pytest.mark.parametrize("fmt", ["bmp", "png"])
+    def test_lossless_roundtrip(self, fmt):
+        for shape in [(16, 16), (32, 17), (7, 64)]:
+            px = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+            out = decode_image(encode_image(px, fmt), fmt)
+            np.testing.assert_array_equal(px, out)
+
+    def test_lossy_psnr(self):
+        px = gen_pixels(3, 64, 64)
+        out = decode_image(encode_image(px, "jpeg"), "jpeg")
+        assert psnr(px, out) >= 40.0
+        assert not np.array_equal(px, out)  # actually lossy
+
+    def test_png_all_filters_decode(self):
+        # synthesize a PNG with each filter type per row and check decode
+        import struct
+        import zlib
+
+        from geowave_spark.raster.codec import _PNG_SIG, _chunk
+
+        h, w = 5, 8
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        raw = bytearray()
+        prev = np.zeros(w * 3, dtype=np.int32)
+        for y in range(h):
+            f = y % 5
+            line = px[y].reshape(-1).astype(np.int32)
+            enc = np.zeros(w * 3, dtype=np.int32)
+            for i in range(w * 3):
+                a = line[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                if f == 0:
+                    enc[i] = line[i]
+                elif f == 1:
+                    enc[i] = line[i] - a
+                elif f == 2:
+                    enc[i] = line[i] - b
+                elif f == 3:
+                    enc[i] = line[i] - ((a + b) >> 1)
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    enc[i] = line[i] - pred
+            raw.append(f)
+            raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        data = (
+            _PNG_SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b"")
+        )
+        np.testing.assert_array_equal(decode_image(data, "png"), px)
+
+
+class TestImagesTable:
+    def test_deterministic_and_schema(self, spark):
+        a = images_table(spark, 40).collect()
+        b = images_table(spark, 40).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        r = {row["image_id"]: row for row in a}
+        assert len(r) == 40
+        row = r["img0000000003"]
+        px = decode_image(bytes(row["bytes"]), row["fmt"])
+        assert px.shape == (row["h"], row["w"], 3)
+        assert row["phash"] == phash64(gen_pixels(3, row["w"], row["h"]))
+        assert row["caption"].startswith("caption of img3 ")
+
+    def test_geometry_derivation(self, spark):
+        df = with_geometry(images_table(spark, 30))
+        rows = df.select("image_id", "lon", "lat", "res").collect()
+        assert all(-180 <= r["lon"] <= 180 and -90 <= r["lat"] <= 90 for r in rows)
+        # deterministic across invocations
+        rows2 = with_geometry(images_table(spark, 30)).select("image_id", "lon", "lat", "res").collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+class TestTiling:
+    strat = TieredStrategy()
+
+    def test_pick_tier_monotone(self):
+        t_fine = pick_tier(0.001, 16, self.strat)
+        t_coarse = pick_tier(0.01, 16, self.strat)
+        assert t_fine > t_coarse
+        # pixel span at chosen tier ≥ res, next tier would oversample
+        for res in [0.001, 0.004, 0.02]:
+            t = pick_tier(res, 16, self.strat)
+            assert 360.0 / (1 << t) / 16 >= res
+            if t < self.strat.max_bits:
+                assert 360.0 / (1 << (t + 1)) / 16 < res
+
+    def test_tile_assignment_matches_numpy_oracle(self, spark):
+        """Tile (tier, cell) assignment equals an independent per-image
+        recomputation (the driver's 'tile assignments match' gate)."""
+        imgs = with_geometry(images_table(spark, 24))
+        got = {
+            (r["image_id"], r["tier"], r["cell"])
+            for r in tile_images(imgs, tile_size=16).collect()
+        }
+        pdf = imgs.select("image_id", "w", "h", "lon", "lat", "res").collect()
+        want = set()
+        for r in pdf:
+            t = pick_tier(r["res"], 16, self.strat)
+            maxx = min(r["lon"] + r["w"] * r["res"], 180.0)
+            maxy = min(r["lat"] + r["h"] * r["res"], 90.0)
+            _, _, cells = _cells_for_envelope(self.strat, t, r["lon"], r["lat"], maxx, maxy)
+            for c in cells.tolist():
+                want.add((r["image_id"], t, int(c)))
+        assert got == want
+
+    def test_tile_pixels_and_caption(self, spark):
+        """Each tile's pixels equal a direct numpy resample of the decoded
+        source; captions carry through unchanged."""
+        imgs = with_geometry(images_table(spark, 12))
+        tiles = tile_images(imgs, tile_size=16).collect()
+        src = {
+            r["image_id"]: r
+            for r in imgs.select("image_id", "bytes", "fmt", "w", "h", "lon", "lat", "res", "caption").collect()
+        }
+        from geowave_spark.sfc.hilbert import hilbert_to_xy
+
+        checked = 0
+        for t in tiles[:60]:
+            s = src[t["image_id"]]
+            px = decode_image(bytes(s["bytes"]), s["fmt"])
+            ix, iy = hilbert_to_xy(np.array([t["cell"]], dtype=np.uint64), t["tier"])
+            want = _resample_into_cell(
+                px, s["lon"], s["lat"], s["res"], self.strat, t["tier"], int(ix[0]), int(iy[0]), 16
+            )
+            got = np.frombuffer(bytes(t["tile"]), dtype=np.uint8).reshape(16, 16, 3)
+            np.testing.assert_array_equal(got, want)
+            assert t["caption"] == s["caption"]
+            checked += 1
+        assert checked > 10
+
+    def test_merge_and_mosaic_pixel_invariant(self, spark):
+        """decode → tile → merge → mosaic round trip: the mosaic over one
+        image's footprint reproduces the per-cell resample exactly
+        (allclose for lossless; PSNR≥40 for the lossy format vs original)."""
+        imgs = with_geometry(images_table(spark, 6)).where(F.col("image_id") == "img0000000000")
+        row = imgs.collect()[0]
+        tiles = tile_images(imgs, tile_size=16)
+        merged = merge_tiles(tiles, tile_size=16).cache()
+        t = pick_tier(row["res"], 16, self.strat)
+        maxx = min(row["lon"] + row["w"] * row["res"], 180.0)
+        maxy = min(row["lat"] + row["h"] * row["res"], 90.0)
+        out = mosaic(merged, t, (row["lon"], row["lat"], maxx, maxy), tile_size=16)
+        # oracle: assemble the same grid directly from numpy resamples
+        px = decode_image(bytes(row["bytes"]), row["fmt"])
+        gx, gy, cells = _cells_for_envelope(self.strat, t, row["lon"], row["lat"], maxx, maxy)
+        ax, ay = int(gx.min()), int(gy.min())
+        want = np.zeros_like(out)
+        for ix, iy in zip(gx.tolist(), gy.tolist()):
+            tile = _resample_into_cell(px, row["lon"], row["lat"], row["res"], self.strat, t, ix, iy, 16)
+            want[(iy - ay) * 16 : (iy - ay + 1) * 16, (ix - ax) * 16 : (ix - ax + 1) * 16] = tile
+        np.testing.assert_array_equal(out, want)
+        # lossy-format invariant: decoded pixels within PSNR bound of ideal
+        ideal = gen_pixels(0, row["w"], row["h"])
+        assert psnr(ideal, px) >= 40.0 if row["fmt"] == "jpeg" else True
+
+    def test_merge_nodata_semantics(self, spark):
+        """Two overlapping sources: first (by image_id) wins, nodata pixels
+        filled by the second — NoDataMergeStrategy."""
+        import pandas as pd
+
+        t1 = np.zeros((4, 4, 3), dtype=np.uint8)
+        t1[:2] = 100  # top half data, bottom half nodata
+        t2 = np.full((4, 4, 3), 7, dtype=np.uint8)
+        pdf = pd.DataFrame(
+            {
+                "image_id": ["a", "b"],
+                "caption": ["ca", "cb"],
+                "tier": [5, 5],
+                "cell": [9, 9],
+                "tile": [t1.tobytes(), t2.tobytes()],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        out = merge_tiles(df, tile_size=4).collect()
+        assert len(out) == 1 and out[0]["n_sources"] == 2
+        m = np.frombuffer(bytes(out[0]["tile"]), dtype=np.uint8).reshape(4, 4, 3)
+        assert (m[:2] == 100).all() and (m[2:] == 7).all()
+
+    def test_resize_roundtrip_pixel_exact(self, spark):
+        """tile_size 4 → 16 → 4 reproduces every original tile exactly
+        (the IT's tile-size invariance)."""
+        imgs = with_geometry(images_table(spark, 4)).where(F.col("image_id") == "img0000000001")
+        t4 = tile_images(imgs, tile_size=4).cache()
+        t16 = resize_tiles(t4, 4, 16)
+        back = resize_tiles(t16, 16, 4)
+        orig = {(r["tier"], r["cell"]): bytes(r["tile"]) for r in t4.collect()}
+        rt = {(r["tier"], r["cell"]): bytes(r["tile"]) for r in back.collect()}
+        zero = bytes(4 * 4 * 3)
+        for key, tile in orig.items():
+            assert rt[key] == tile, key
+        for key, tile in rt.items():
+            if key not in orig:
+                assert tile == zero  # padding cells materialized as nodata
