@@ -368,6 +368,96 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+# ---- raster tiling queries
+
+TILE_N = 800  # images synthesized per run (deterministic)
+TILE_SIZE = 16
+# SQL-identical geometry derivation for the tile oracle (img_i = integer id)
+TLON = "-180.0 + ((img_i * 48271) % 360000) / 1000.0"
+TLAT = "-90.0 + ((img_i * 69621) % 180000) / 1000.0"
+_RES_BY_MOD = [0.002, 0.004, 0.008, 0.016]
+
+
+def _tile_tier_table():
+    from geowave_spark.raster.tiling import pick_tier
+    from geowave_spark.sfc.tiered import TieredStrategy
+
+    strat = TieredStrategy()
+    return [(m, r, pick_tier(r, TILE_SIZE, strat)) for m, r in enumerate(_RES_BY_MOD)]
+
+
+def _tile_images_df(spark):
+    from geowave_spark.sources.images import images_table
+
+    res_case = "CASE img_i % 4 " + " ".join(
+        f"WHEN {m} THEN {r!r}" for m, r, _ in _tile_tier_table()
+    ) + " END"
+    return (
+        images_table(spark, TILE_N)
+        .withColumn("img_i", F.expr("CAST(substring(image_id, 4, 10) AS BIGINT)"))
+        .withColumn("lon", F.expr(TLON.replace("img_i", "img_i")))
+        .withColumn("lat", F.expr(TLAT))
+        .withColumn("res", F.expr(res_case))
+    )
+
+
+def q_tile_counts(spark, sf_dir):
+    """Tile-assignment cardinality per image — decodes real pixels, tiles
+    them to index cells, counts tiles; the oracle recomputes the count from
+    pure grid arithmetic (RasterDataAdapter.convertToIndex cell rule)."""
+    from geowave_spark.raster.tiling import tile_images
+
+    _t(spark, sf_dir, "region")  # ensure_py_files side effect
+    tiles = tile_images(_tile_images_df(spark), tile_size=TILE_SIZE)
+    return tiles.groupBy("image_id").agg(F.count(F.lit(1)).alias("n_tiles"))
+
+
+def q_tile_assignment(spark, sf_dir):
+    """Full (image_id, tier, cell) tile assignment — Hilbert cells, exact
+    oracle lives in tests/test_raster.py (rows-only here)."""
+    from geowave_spark.raster.tiling import tile_images
+
+    _t(spark, sf_dir, "region")
+    tiles = tile_images(_tile_images_df(spark), tile_size=TILE_SIZE)
+    return tiles.select("image_id", "tier", "cell")
+
+
+def _tile_counts_oracle_sql() -> str:
+    tiers = _tile_tier_table()
+    res_case = "CASE i % 4 " + " ".join(f"WHEN {m} THEN {r!r}" for m, r, _ in tiers) + " END"
+    tier_case = "CASE i % 4 " + " ".join(f"WHEN {m} THEN {t}" for m, _, t in tiers) + " END"
+    w_case = "CASE i % 4 WHEN 0 THEN 16 WHEN 1 THEN 32 WHEN 2 THEN 64 WHEN 3 THEN 256 END"
+    h_case = "CASE ((i // 4) + i) % 4 WHEN 0 THEN 16 WHEN 1 THEN 32 WHEN 2 THEN 64 WHEN 3 THEN 256 END"
+    return f"""
+WITH base AS (
+  SELECT i,
+         'img' || lpad(CAST(i AS VARCHAR), 10, '0') AS image_id,
+         {TLON.replace("img_i", "i")} AS lon,
+         {TLAT.replace("img_i", "i")} AS lat,
+         {res_case} AS res,
+         {tier_case} AS tier,
+         {w_case} AS w,
+         {h_case} AS h
+  FROM range(0, {TILE_N}) t(i)
+), env AS (
+  SELECT image_id, tier,
+         lon AS minx, lat AS miny,
+         least(lon + w * res, 180.0) AS maxx,
+         least(lat + h * res, 90.0) AS maxy,
+         CAST(power(2.0, tier) AS BIGINT) AS n
+  FROM base
+), cells AS (
+  SELECT image_id,
+         least(n - 1, CAST(floor((minx + 180.0) / 360.0 * n) AS BIGINT)) AS ax,
+         least(n - 1, CAST(floor((maxx + 180.0) / 360.0 * n) AS BIGINT)) AS bx,
+         least(n - 1, CAST(floor((miny + 90.0) / 180.0 * n) AS BIGINT)) AS ay,
+         least(n - 1, CAST(floor((maxy + 90.0) / 180.0 * n) AS BIGINT)) AS by
+  FROM env
+)
+SELECT image_id, (bx - ax + 1) * (by - ay + 1) AS n_tiles FROM cells
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------

@@ -129,6 +129,9 @@ def distance_join(
         )
         .select("_rid", "_rlon", "_rlat", F.col("_ins.tier").alias("tier"), F.col("_ins.cell").alias("cell"))
     )
+    # persist: the tier-collect job and the join both consume the build
+    # side (the reference persists the same way, TieredSpatialJoin.java:510)
+    build = build.persist()
     tiers = [r["tier"] for r in build.select("tier").distinct().collect()]
 
     probe = _index_points(
@@ -192,6 +195,9 @@ def point_in_polygon_join(
         F.col(wkt).alias("_wkt"),
         F.explode(ins).alias("_ins"),
     ).select("_gid", "_wkt", F.col("_ins.tier").alias("tier"), F.col("_ins.cell").alias("cell"))
+    # persist: the tier-collect job and the join both consume the build
+    # side (the reference persists the same way, TieredSpatialJoin.java:510)
+    build = build.persist()
     tiers = [r["tier"] for r in build.select("tier").distinct().collect()]
 
     probe = _index_points(
@@ -258,6 +264,9 @@ def polygon_distance_join(
         F.col(wkt).alias("_wkt"),
         F.explode(ins).alias("_ins"),
     ).select("_gid", "_wkt", F.col("_ins.tier").alias("tier"), F.col("_ins.cell").alias("cell"))
+    # persist: the tier-collect job and the join both consume the build
+    # side (the reference persists the same way, TieredSpatialJoin.java:510)
+    build = build.persist()
     tiers = [r["tier"] for r in build.select("tier").distinct().collect()]
 
     probe = _index_points(

@@ -1,0 +1,131 @@
+"""Checkpointed sink (lineage/metrics/resume), pruning predicates, streaming ingest."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geowave_spark.encode import with_point_cells
+from geowave_spark.plans.prune import bbox_cell_predicate, pruned_bbox_scan
+from geowave_spark.sfc.tiered import TieredStrategy
+from geowave_spark.sources.catalog import (
+    checkpointed_write,
+    read_indexed,
+    read_lineage,
+    read_metrics,
+    verify_lineage,
+)
+from geowave_spark.sources.fixtures import points_pdf
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    return spark.createDataFrame(points_pdf(800)).withColumn(
+        "grp", F.pmod(F.xxhash64("image_id"), F.lit(6)).cast("int")
+    ).cache()
+
+
+class TestCheckpointedWrite:
+    def test_write_resume_skips_done_partitions(self, spark, pts):
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "tbl")
+            # simulate a partial run: first write only groups 0-2
+            first = checkpointed_write(pts.where(F.col("grp") <= 2), path, "grp")
+            assert sorted(first["written"]) == ["0", "1", "2"] and first["skipped"] == []
+            # resume with the full input: groups 0-2 must be skipped
+            second = checkpointed_write(pts, path, "grp")
+            assert sorted(second["written"]) == ["3", "4", "5"]
+            assert sorted(second["skipped"]) == ["0", "1", "2"]
+            # full table present exactly once
+            got = read_indexed(spark, path)
+            assert got.count() == pts.count()
+            assert got.select("image_id").distinct().count() == pts.count()
+            # third run: everything skipped, nothing duplicated
+            third = checkpointed_write(pts, path, "grp")
+            assert third["written"] == [] and len(third["skipped"]) == 6
+            assert read_indexed(spark, path).count() == pts.count()
+
+    def test_lineage_and_metrics(self, spark, pts):
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "tbl")
+            checkpointed_write(pts, path, "grp")
+            lin = {r["part_key"]: r["n_rows"] for r in read_lineage(spark, path).collect()}
+            want = {str(r["grp"]): r["n"] for r in pts.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+            assert lin == want
+            assert verify_lineage(spark, path, pts, "grp")
+            m = read_metrics(spark, path).collect()
+            assert len(m) == 6 and all(r["minx"] >= -180 and r["maxx"] <= 180 for r in m)
+
+
+class TestPruning:
+    strat = TieredStrategy()
+
+    def test_pruned_scan_equals_exact_filter(self, spark, pts):
+        tier = 10
+        idx = with_point_cells(pts, strategy=TieredStrategy(max_bits=tier))
+        bbox = (-40.0, -30.0, 35.0, 25.0)
+        got = {
+            r["image_id"]
+            for r in pruned_bbox_scan(idx, TieredStrategy(max_bits=tier), bbox, tier).collect()
+        }
+        want = {
+            r["image_id"]
+            for r in pts.where(
+                (F.col("lon") >= bbox[0]) & (F.col("lon") <= bbox[2])
+                & (F.col("lat") >= bbox[1]) & (F.col("lat") <= bbox[3])
+            ).collect()
+        }
+        assert got == want
+
+    def test_loose_scan_superset(self, spark, pts):
+        tier = 10
+        strat = TieredStrategy(max_bits=tier)
+        idx = with_point_cells(pts, strategy=strat)
+        bbox = (-40.0, -30.0, 35.0, 25.0)
+        loose = {r["image_id"] for r in pruned_bbox_scan(idx, strat, bbox, tier, loose=True).collect()}
+        exact = {r["image_id"] for r in pruned_bbox_scan(idx, strat, bbox, tier).collect()}
+        assert exact <= loose
+
+    def test_predicate_prunes_parquet_scan(self, spark, pts, tmp_path):
+        """The coarse predicate must reach the parquet reader as pushed
+        filters (the Iceberg min/max pruning analog)."""
+        tier = 10
+        strat = TieredStrategy(max_bits=tier)
+        idx = with_point_cells(pts, strategy=strat)
+        p = str(tmp_path / "idx.parquet")
+        idx.write.parquet(p)
+        scan = spark.read.parquet(p).where(
+            bbox_cell_predicate(strat, (-40.0, -30.0, 35.0, 25.0), tier)
+        )
+        plan = scan._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "cell" in plan
+
+
+class TestStreaming:
+    def test_rate_stream_encode_and_window(self, spark, tmp_path):
+        from geowave_spark.streaming.ingest import (
+            ingest_to_table,
+            synthetic_point_stream,
+            windowed_cell_counts,
+        )
+
+        import glob
+        import time
+
+        stream = synthetic_point_stream(spark, rows_per_second=500)
+        q = ingest_to_table(stream, str(tmp_path / "tbl"), str(tmp_path / "ckpt"))
+        deadline = time.time() + 60
+        while time.time() < deadline and not glob.glob(
+            str(tmp_path / "tbl" / "data" / "tier=*" / "part-*")
+        ):
+            time.sleep(1)
+        q.stop()
+        out = spark.read.parquet(str(tmp_path / "tbl" / "data"))
+        n = out.count()
+        assert n > 0 and set(["cell", "lon", "lat"]) <= set(out.columns)
+        assert glob.glob(str(tmp_path / "tbl" / "data" / "tier=*"))
+        # windowed agg compiles into a valid streaming plan
+        win = windowed_cell_counts(synthetic_point_stream(spark))
+        assert win.isStreaming

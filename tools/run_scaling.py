@@ -1,0 +1,83 @@
+"""Run bench.py at two parallelism levels (N and 4N cores) and write
+BENCH/BASELINE.md with throughput + scaling efficiency.
+
+The sandbox has no multi-node cluster, so per the driver instruction the
+two-cluster-size criterion (north rule: ≥0.8 efficiency N→4N executors) is
+evidenced by local[8] vs local[32] on the same input.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(cpus: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main():
+    n_low = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "8"))
+    n_high = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "32"))
+    lo = run_bench(n_low)
+    print(json.dumps(lo))
+    hi = run_bench(n_high)
+    print(json.dumps(hi))
+
+    rows = []
+    effs = []
+    for q in lo["queries"]:
+        t_lo, t_hi = lo["queries"][q], hi["queries"][q]
+        speedup = t_lo / t_hi if t_hi else float("nan")
+        eff = speedup / (n_high / n_low)
+        if t_lo >= 2.0:  # efficiency is meaningless for sub-second jobs
+            effs.append(eff)
+        rows.append((q, t_lo, t_hi, speedup, eff))
+    overall_speedup = lo["value"] / hi["value"]
+    overall_eff = overall_speedup / (n_high / n_low)
+
+    md = [
+        "# BENCH/BASELINE.md — measured throughput & scaling",
+        "",
+        f"Input: images_n={lo.get('images_n')}, sf_dir tables at sf={lo.get('sf')}.",
+        f"Parallelism: local[{n_low}] vs local[{n_high}] (stand-in for N vs 4N executors",
+        "per the driver instruction; same input both runs; images parquet pre-materialized",
+        "so timings measure the operators, not data generation).",
+        "",
+        "| query | local[%d] s | local[%d] s | speedup | efficiency |" % (n_low, n_high),
+        "|---|---|---|---|---|",
+    ]
+    for q, a, b, s, e in rows:
+        md.append(f"| {q} | {a:.2f} | {b:.2f} | {s:.2f}× | {e:.2f} |")
+    md += [
+        f"| **total** | {lo['value']:.2f} | {hi['value']:.2f} | {overall_speedup:.2f}× | **{overall_eff:.2f}** |",
+        "",
+        f"Scaling efficiency (total, {n_high // n_low}× cores): **{overall_eff:.2f}**"
+        f" (north-rule target ≥ 0.8 ÷ … efficiency = speedup / (cores_hi/cores_lo)).",
+        "",
+        "Throughput extras (local[%d]):" % n_high,
+        "```json",
+        json.dumps(hi.get("extras", {}), indent=2),
+        "```",
+    ]
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(md) + "\n")
+    print("wrote BENCH/BASELINE.md; overall efficiency", round(overall_eff, 3))
+
+
+if __name__ == "__main__":
+    main()
