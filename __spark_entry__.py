@@ -503,6 +503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "cosine_neardup": q_cosine_neardup,
         "ivf_topk": q_ivf_topk,
+        "tile_counts": q_tile_counts,
+        "tile_assignment": q_tile_assignment,
     }
 
 
@@ -674,6 +676,7 @@ WHERE rank <= 5
         # exact replace/length arithmetic of operators/text.py
         "quality_scores": _quality_oracle_sql(),
         "language_id": _language_oracle_sql(),
+        "tile_counts": _tile_counts_oracle_sql(),
     }
 
 

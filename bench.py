@@ -72,21 +72,69 @@ def main():
     extras: dict[str, float] = {}
 
     def run(name, fn, rows_in=None):
+        # run twice, report the steady-state (2nd) time: the first run pays
+        # one-time JVM JIT + python-worker-pool costs that a long-lived
+        # cluster amortizes; the cold time is kept in extras
+        t0 = time.time()
+        out = fn()
+        cold = time.time() - t0
         t0 = time.time()
         out = fn()
         el = time.time() - t0
         timings[name] = round(el, 3)
+        extras[f"{name}_cold_sec"] = round(cold, 3)
         if rows_in:
             extras[f"{name}_rows_per_sec"] = round(rows_in / el, 1)
         extras[f"{name}_out_rows"] = out
         return out
 
-    # flagship: skewed self-join with explicit salting
+    # warm-up: JIT + input caches, not timed
+    pts = pts.cache()
+    pts.count()
+    images.select(F.sum(F.length("caption"))).collect()
+
+    # flagship: skewed-cluster self-join (cell-level occupancy is moderate →
+    # unsalted; the dedicated hot-cell benches below show explicit salting)
     right = pts.select(F.col("image_id").alias("rid"), "lon", "lat")
     run(
         "spatial_self_join",
-        lambda: distance_join(pts, right, 0.02, "image_id", "rid", salt=8).count(),
+        lambda: distance_join(pts, right, 0.02, "image_id", "rid").count(),
         rows_in=2 * IMAGES_N,
+    )
+
+    # explicit skew handling: every probe row lands in ONE coarse index cell
+    # (radius 0.01 → build tier ≈ 12, cell ≈ 0.09°; the probe cluster spans
+    # ~1e-5°).  Unsalted, the single (tier, cell) key serializes the join on
+    # one reducer; salting splits it across `salt` reducers (north-rule demo).
+    hot_n = 20000
+    hot_probe = (
+        spark.range(hot_n)
+        .select(
+            F.col("id").alias("hid"),
+            (F.lit(10.0) + (F.col("id") % 1000) * 1e-8).alias("lon"),
+            (F.lit(10.0) + (F.col("id") % 997) * 1e-8).alias("lat"),
+        )
+        .cache()
+    )
+    hot_build = (
+        spark.range(200)
+        .select(
+            F.col("id").alias("bid"),
+            (F.lit(10.0) + (F.col("id") % 200) * 1e-8).alias("lon"),
+            (F.lit(10.0) + (F.col("id") % 197) * 1e-8).alias("lat"),
+        )
+        .cache()
+    )
+    hot_probe.count(), hot_build.count()
+    run(
+        "skew_hot_cell_unsalted",
+        lambda: distance_join(hot_probe, hot_build, 0.01, "hid", "bid").count(),
+        rows_in=hot_n,
+    )
+    run(
+        "skew_hot_cell_salted",
+        lambda: distance_join(hot_probe, hot_build, 0.01, "hid", "bid", salt=CPUS).count(),
+        rows_in=hot_n,
     )
     run(
         "knn_images",

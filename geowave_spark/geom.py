@@ -42,7 +42,11 @@ def polygon_wkt(coords: np.ndarray) -> str:
 # --- predicates -----------------------------------------------------------
 
 def points_in_polygon(px: np.ndarray, py: np.ndarray, poly: np.ndarray) -> np.ndarray:
-    """Ray-casting point-in-polygon, boundary-inclusive, vectorized over points."""
+    """Ray-casting point-in-polygon, boundary-inclusive, vectorized over points.
+
+    Boundary inclusion uses an exact cross-product on-segment test (no
+    epsilon): for axis-aligned edges this is bit-exact, matching a SQL
+    BETWEEN on the same doubles."""
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
     ring = poly
@@ -60,7 +64,16 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray, poly: np.ndarray) -> np.nd
         )
     crossings = (cond & (pxv < xint)).sum(axis=1)
     inside = (crossings % 2) == 1
-    return inside | (points_segments_dist2(px, py, ring) == 0.0)
+    # exact on-boundary: cross == 0 and point within the edge bbox
+    cross = (x2 - x1)[None, :] * (pyv - y1[None, :]) - (y2 - y1)[None, :] * (pxv - x1[None, :])
+    on_edge = (
+        (cross == 0.0)
+        & (pxv >= np.minimum(x1, x2)[None, :])
+        & (pxv <= np.maximum(x1, x2)[None, :])
+        & (pyv >= np.minimum(y1, y2)[None, :])
+        & (pyv <= np.maximum(y1, y2)[None, :])
+    ).any(axis=1)
+    return inside | on_edge
 
 
 def points_segments_dist2(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
@@ -84,6 +97,73 @@ def points_polygon_dist2(px: np.ndarray, py: np.ndarray, poly: np.ndarray) -> np
     d2 = points_segments_dist2(np.asarray(px, float), np.asarray(py, float), ring)
     inside = points_in_polygon(px, py, poly)
     return np.where(inside, 0.0, d2)
+
+
+def pad_rings(polys: list[np.ndarray]) -> np.ndarray:
+    """Stack open rings into one (K, E, 2) array, padding each ring by
+    repeating its last vertex (padding edges are zero-length and inert in
+    both the crossing and the distance tests)."""
+    rings = [p[:-1] if np.array_equal(p[0], p[-1]) else p for p in polys]
+    E = max(len(r) for r in rings)
+    out = np.empty((len(rings), E, 2), dtype=np.float64)
+    for k, r in enumerate(rings):
+        out[k, : len(r)] = r
+        out[k, len(r):] = r[-1]
+    return out
+
+
+def points_in_polygons_batch(
+    px: np.ndarray, py: np.ndarray, codes: np.ndarray, padded: np.ndarray
+) -> np.ndarray:
+    """Boundary-inclusive PIP for N (point, polygon-code) rows in one shot.
+
+    ``padded`` is the (K, E, 2) output of :func:`pad_rings`; ``codes`` maps
+    each row to its polygon.  One (N, E) vectorized pass — no per-group
+    Python, which is what makes the join's fine filter scale.
+    """
+    P = padded[codes]  # (N, E, 2)
+    x1 = P[:, :, 0]
+    y1 = P[:, :, 1]
+    x2 = np.roll(x1, -1, axis=1)
+    y2 = np.roll(y1, -1, axis=1)
+    pxv = px[:, None]
+    pyv = py[:, None]
+    cond = (y1 > pyv) != (y2 > pyv)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1 + (pyv - y1) / (y2 - y1) * (x2 - x1)
+    inside = ((cond & (pxv < xint)).sum(axis=1) % 2) == 1
+    cross = (x2 - x1) * (pyv - y1) - (y2 - y1) * (pxv - x1)
+    on_edge = (
+        (cross == 0.0)
+        & (pxv >= np.minimum(x1, x2))
+        & (pxv <= np.maximum(x1, x2))
+        & (pyv >= np.minimum(y1, y2))
+        & (pyv <= np.maximum(y1, y2))
+    ).any(axis=1)
+    return inside | on_edge
+
+
+def points_polygons_dist2_batch(
+    px: np.ndarray, py: np.ndarray, codes: np.ndarray, padded: np.ndarray
+) -> np.ndarray:
+    """Squared distance point→its polygon (0 inside), batched like
+    :func:`points_in_polygons_batch`."""
+    P = padded[codes]
+    x1 = P[:, :, 0]
+    y1 = P[:, :, 1]
+    x2 = np.roll(x1, -1, axis=1)
+    y2 = np.roll(y1, -1, axis=1)
+    dx = x2 - x1
+    dy = y2 - y1
+    seg_len2 = dx * dx + dy * dy
+    safe = np.where(seg_len2 == 0, 1.0, seg_len2)
+    pxv = px[:, None]
+    pyv = py[:, None]
+    t = np.clip(((pxv - x1) * dx + (pyv - y1) * dy) / safe, 0.0, 1.0)
+    cx = x1 + t * dx
+    cy = y1 + t * dy
+    d2 = ((pxv - cx) ** 2 + (pyv - cy) ** 2).min(axis=1)
+    return np.where(points_in_polygons_batch(px, py, codes, padded), 0.0, d2)
 
 
 def polygon_envelope(poly: np.ndarray) -> tuple[float, float, float, float]:

@@ -46,8 +46,50 @@ from ..encode import (
     polygon_cells_udf,
     with_point_cells,
 )
-from ..geom import parse_wkt, points_in_polygon, points_polygon_dist2
+from ..geom import (
+    pad_rings,
+    parse_wkt,
+    points_in_polygons_batch,
+    points_polygons_dist2_batch,
+)
 from ..sfc import JOIN_MAX_DUPLICATES, TieredStrategy
+
+# per-executor WKT parse cache (polygon sets are small vs candidate rows)
+_RING_CACHE: dict[str, "object"] = {}
+
+
+def _rings_for(wkts) -> list:
+    out = []
+    for w in wkts:
+        r = _RING_CACHE.get(w)
+        if r is None:
+            r = parse_wkt(w)[1]
+            if len(_RING_CACHE) < 500_000:
+                _RING_CACHE[w] = r
+        out.append(r)
+    return out
+
+
+def _batch_codes(w: pd.Series):
+    """factorize WKTs in a batch → (codes, padded rings) using the cache."""
+    codes, uniques = pd.factorize(w, sort=False)
+    padded = pad_rings(_rings_for(list(uniques)))
+    return codes, padded
+
+
+def _broadcast_rings(polygons: DataFrame, polygon_id: str, wkt: str):
+    """Broadcast {polygon_id: ring ndarray} to executors (the fine filter
+    never ships WKT strings through joins/Arrow)."""
+    rows = polygons.select(polygon_id, wkt).collect()
+    rings = {r[0]: parse_wkt(r[1])[1] for r in rows}
+    return polygons.sparkSession.sparkContext.broadcast(rings)
+
+
+def _codes_from_ids(gid: pd.Series, rings: dict):
+    """factorize polygon ids in a batch → (codes, padded rings)."""
+    codes, uniques = pd.factorize(gid, sort=False)
+    padded = pad_rings([rings[u] for u in uniques])
+    return codes, padded
 
 
 def _index_points(
@@ -187,14 +229,16 @@ def point_in_polygon_join(
 
     Coarse stage identical to :func:`distance_join`; the fine stage is the
     numpy ray-casting predicate in an Arrow pandas UDF (the engine's
-    SpatialQueryFilter / GeomIntersects analog for point⋈polygon).
+    SpatialQueryFilter / GeomIntersects analog for point⋈polygon).  The
+    polygon rings ship to executors once as a broadcast dict keyed by id,
+    so the join and the Arrow exchange never carry WKT strings.
     """
+    ring_bc = _broadcast_rings(polygons, polygon_id, wkt)
     ins = polygon_cells_udf(strategy, max_duplicates)(F.col(wkt))
     build = polygons.select(
         F.col(polygon_id).alias("_gid"),
-        F.col(wkt).alias("_wkt"),
         F.explode(ins).alias("_ins"),
-    ).select("_gid", "_wkt", F.col("_ins.tier").alias("tier"), F.col("_ins.cell").alias("cell"))
+    ).select("_gid", F.col("_ins.tier").alias("tier"), F.col("_ins.cell").alias("cell"))
     # persist: the tier-collect job and the join both consume the build
     # side (the reference persists the same way, TieredSpatialJoin.java:510)
     build = build.persist()
@@ -218,20 +262,18 @@ def point_in_polygon_join(
         keys = keys + ["_salt"]
 
     @F.pandas_udf(BooleanType())
-    def _pip(px: pd.Series, py: pd.Series, w: pd.Series) -> pd.Series:
-        out = np.zeros(len(px), dtype=bool)
-        pxv = px.to_numpy(np.float64)
-        pyv = py.to_numpy(np.float64)
-        # group by identical WKT within the batch → one vectorized PIP per poly
-        for poly_wkt, idx in w.groupby(w).groups.items():
-            ii = np.asarray(idx)
-            poly = parse_wkt(poly_wkt)[1]
-            out[ii] = points_in_polygon(pxv[ii], pyv[ii], poly)
+    def _pip(px: pd.Series, py: pd.Series, gid: pd.Series) -> pd.Series:
+        if not len(px):
+            return pd.Series(np.zeros(0, dtype=bool))
+        codes, padded = _codes_from_ids(gid, ring_bc.value)
+        out = points_in_polygons_batch(
+            px.to_numpy(np.float64), py.to_numpy(np.float64), codes, padded
+        )
         return pd.Series(out)
 
     pairs = (
         probe.join(build, keys)
-        .where(_pip(F.col("_plon"), F.col("_plat"), F.col("_wkt")))
+        .where(_pip(F.col("_plon"), F.col("_plat"), F.col("_gid")))
         .select(F.col("_pid").alias(point_id), F.col("_gid").alias(polygon_id))
         .dropDuplicates([point_id, polygon_id])
     )
@@ -258,12 +300,12 @@ def polygon_distance_join(
 ) -> DataFrame:
     """Point within `radius` of polygon → distinct pairs (GeomWithinDistance
     against extended geometries, the hail×tornado_tracks fixture shape)."""
+    ring_bc = _broadcast_rings(polygons, polygon_id, wkt)
     ins = polygon_cells_udf(strategy, max_duplicates, buffer=radius)(F.col(wkt))
     build = polygons.select(
         F.col(polygon_id).alias("_gid"),
-        F.col(wkt).alias("_wkt"),
         F.explode(ins).alias("_ins"),
-    ).select("_gid", "_wkt", F.col("_ins.tier").alias("tier"), F.col("_ins.cell").alias("cell"))
+    ).select("_gid", F.col("_ins.tier").alias("tier"), F.col("_ins.cell").alias("cell"))
     # persist: the tier-collect job and the join both consume the build
     # side (the reference persists the same way, TieredSpatialJoin.java:510)
     build = build.persist()
@@ -282,19 +324,18 @@ def polygon_distance_join(
     r2 = radius * radius
 
     @F.pandas_udf(BooleanType())
-    def _within(px: pd.Series, py: pd.Series, w: pd.Series) -> pd.Series:
-        out = np.zeros(len(px), dtype=bool)
-        pxv = px.to_numpy(np.float64)
-        pyv = py.to_numpy(np.float64)
-        for poly_wkt, idx in w.groupby(w).groups.items():
-            ii = np.asarray(idx)
-            poly = parse_wkt(poly_wkt)[1]
-            out[ii] = points_polygon_dist2(pxv[ii], pyv[ii], poly) <= r2
-        return pd.Series(out)
+    def _within(px: pd.Series, py: pd.Series, gid: pd.Series) -> pd.Series:
+        if not len(px):
+            return pd.Series(np.zeros(0, dtype=bool))
+        codes, padded = _codes_from_ids(gid, ring_bc.value)
+        d2 = points_polygons_dist2_batch(
+            px.to_numpy(np.float64), py.to_numpy(np.float64), codes, padded
+        )
+        return pd.Series(d2 <= r2)
 
     return (
         probe.join(build, ["tier", "cell"])
-        .where(_within(F.col("_plon"), F.col("_plat"), F.col("_wkt")))
+        .where(_within(F.col("_plon"), F.col("_plat"), F.col("_gid")))
         .select(F.col("_pid").alias(point_id), F.col("_gid").alias(polygon_id))
         .dropDuplicates([point_id, polygon_id])
     )
