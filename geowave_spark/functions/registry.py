@@ -36,6 +36,7 @@ from ..geom import (
     points_in_polygons_batch,
     points_polygons_dist2_batch,
     polygon_envelope,
+    rings_edges_intersect,
 )
 
 _PARSE_CACHE: dict[str, tuple[str, np.ndarray]] = {}
@@ -77,7 +78,11 @@ def _pairwise_dist2(a: pd.Series, b: pd.Series) -> np.ndarray:
             elif kb == "POINT":
                 pts_x.append(cb[0][0]); pts_y.append(cb[0][1]); rings.append(ca)
             else:
-                # polygon↔polygon: min over a's vertices to b + b's to a
+                # polygon↔polygon: 0 if boundaries cross, else min distance
+                # is attained vertex-of-one → edge-of-other (piecewise linear)
+                if rings_edges_intersect(ca, cb):
+                    out[i] = 0.0
+                    continue
                 d1 = points_polygons_dist2_batch(
                     ca[:, 0], ca[:, 1], np.zeros(len(ca), dtype=int), pad_rings([cb])
                 ).min()
@@ -110,12 +115,12 @@ def _intersects_pair(a, b) -> bool:
         return bool(points_in_polygons_batch(ca[:1, 0], ca[:1, 1], np.zeros(1, int), pad_rings([cb]))[0])
     if kb == "POINT":
         return bool(points_in_polygons_batch(cb[:1, 0], cb[:1, 1], np.zeros(1, int), pad_rings([ca]))[0])
-    # polygon/polygon: vertex containment either way, else any edge crossing
+    # polygon/polygon: vertex containment either way, else edge crossing
     if points_in_polygons_batch(ca[:, 0], ca[:, 1], np.zeros(len(ca), int), pad_rings([cb])).any():
         return True
     if points_in_polygons_batch(cb[:, 0], cb[:, 1], np.zeros(len(cb), int), pad_rings([ca])).any():
         return True
-    return bool(_pairwise_dist2(pd.Series([_wkt_of(a)]), pd.Series([_wkt_of(b)]))[0] == 0.0)
+    return rings_edges_intersect(ca, cb)
 
 
 def _wkt_of(g) -> str:

@@ -166,6 +166,56 @@ def points_polygons_dist2_batch(
     return np.where(points_in_polygons_batch(px, py, codes, padded), 0.0, d2)
 
 
+def rings_edges_intersect(ra: np.ndarray, rb: np.ndarray) -> bool:
+    """Do any boundary edges of the two rings intersect? (orientation test,
+    vectorized over the E_a × E_b edge pairs; collinear touches count)."""
+    a = ra[:-1] if np.array_equal(ra[0], ra[-1]) else ra
+    b = rb[:-1] if np.array_equal(rb[0], rb[-1]) else rb
+    p1 = a
+    p2 = np.roll(a, -1, axis=0)
+    q1 = b
+    q2 = np.roll(b, -1, axis=0)
+
+    def cross(ox, oy, ax_, ay, bx, by):
+        return (ax_ - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+    # (Ea, Eb) orientation values
+    d1 = cross(q1[None, :, 0], q1[None, :, 1], q2[None, :, 0], q2[None, :, 1], p1[:, None, 0], p1[:, None, 1])
+    d2 = cross(q1[None, :, 0], q1[None, :, 1], q2[None, :, 0], q2[None, :, 1], p2[:, None, 0], p2[:, None, 1])
+    d3 = cross(p1[:, None, 0], p1[:, None, 1], p2[:, None, 0], p2[:, None, 1], q1[None, :, 0], q1[None, :, 1])
+    d4 = cross(p1[:, None, 0], p1[:, None, 1], p2[:, None, 0], p2[:, None, 1], q2[None, :, 0], q2[None, :, 1])
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+    if proper.any():
+        return True
+    # collinear / endpoint touches: a zero orientation with bbox overlap
+    for d, s1, s2, pt in (
+        (d1, q1, q2, p1),
+        (d2, q1, q2, p2),
+        (d3, p1, p2, q1),
+        (d4, p1, p2, q2),
+    ):
+        z = d == 0
+        if z.any():
+            if d is d1 or d is d2:
+                px_ = pt[:, None, 0]; py_ = pt[:, None, 1]
+                sx1 = s1[None, :, 0]; sy1 = s1[None, :, 1]
+                sx2 = s2[None, :, 0]; sy2 = s2[None, :, 1]
+            else:
+                px_ = pt[None, :, 0]; py_ = pt[None, :, 1]
+                sx1 = s1[:, None, 0]; sy1 = s1[:, None, 1]
+                sx2 = s2[:, None, 0]; sy2 = s2[:, None, 1]
+            on = (
+                z
+                & (px_ >= np.minimum(sx1, sx2))
+                & (px_ <= np.maximum(sx1, sx2))
+                & (py_ >= np.minimum(sy1, sy2))
+                & (py_ <= np.maximum(sy1, sy2))
+            )
+            if on.any():
+                return True
+    return False
+
+
 def polygon_envelope(poly: np.ndarray) -> tuple[float, float, float, float]:
     return (
         float(poly[:, 0].min()),
