@@ -309,6 +309,45 @@ def q_json_props_extract(spark, sf_dir):
     ).where(F.col("k") > 50)
 
 
+def q_filter_expression(spark, sf_dir):
+    """Filter-expression tree parity (And/Or/Not/Between/IsNull over
+    numeric/text fields — core/store/.../query/filter/expression/*)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.where(
+        (
+            F.col("o_totalprice").between(1000.0, 50000.0)
+            & (F.col("o_orderpriority") != "5-LOW")
+        )
+        | (~F.col("o_orderstatus").isin("F", "O") & F.col("o_custkey").isNotNull())
+    ).select("o_orderkey")
+
+
+def q_temporal_predicates(spark, sf_dir):
+    """BEFORE / DURING / AFTER temporal operators (TemporalOperators.java):
+    events DURING [2024-01-10, 2024-01-20) joined to their type's first day."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.where(
+            (F.col("ts") >= F.lit("2024-01-10"))
+            & (F.col("ts") < F.lit("2024-01-20"))
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("ts").alias("first_ts"))
+    )
+
+
+def q_scalar_functions(spark, sf_dir):
+    """ABS / CONCAT / numeric+text casts (GWQLCoreExtensions.java:53-66)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_linenumber") == 1).select(
+        "l_orderkey",
+        F.abs(F.col("l_discount") - F.lit(0.05)).alias("abs_disc"),
+        F.concat(F.col("l_returnflag"), F.lit("-"), F.col("l_linestatus")).alias("flag_status"),
+        F.col("l_quantity").cast("string").alias("qty_text"),
+        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4).alias("unit_price"),
+    )
+
+
 def q_dedupe_rows(spark, sf_dir):
     """DedupeFilter analog on a plain table: one row per o_custkey
     (deterministic min orderkey)."""
@@ -492,6 +531,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fixed_bin_histogram": q_fixed_bin_histogram,
         "stats_lineitem": q_stats_lineitem,
         "json_props_extract": q_json_props_extract,
+        "filter_expression": q_filter_expression,
+        "temporal_predicates": q_temporal_predicates,
+        "scalar_functions": q_scalar_functions,
         "dedupe_rows": q_dedupe_rows,
         "dedup_exact_docs": q_dedup_exact_docs,
         "doc_fingerprint": q_doc_fingerprint,
@@ -648,6 +690,24 @@ WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
 """,
         "dedupe_rows": """
 SELECT o_custkey, min(o_orderkey) AS o_orderkey FROM orders GROUP BY o_custkey
+""",
+        "filter_expression": """
+SELECT o_orderkey FROM orders
+WHERE (o_totalprice BETWEEN 1000.0 AND 50000.0 AND o_orderpriority <> '5-LOW')
+   OR (o_orderstatus NOT IN ('F', 'O') AND o_custkey IS NOT NULL)
+""",
+        "temporal_predicates": """
+SELECT event_type, count(*) AS n, min(ts) AS first_ts FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+GROUP BY event_type
+""",
+        "scalar_functions": """
+SELECT l_orderkey,
+       abs(l_discount - 0.05) AS abs_disc,
+       l_returnflag || '-' || l_linestatus AS flag_status,
+       CAST(l_quantity AS VARCHAR) AS qty_text,
+       round(l_extendedprice / l_quantity, 4) AS unit_price
+FROM lineitem WHERE l_linenumber = 1
 """,
         "dedup_exact_docs": """
 SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents GROUP BY text

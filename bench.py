@@ -29,8 +29,8 @@ from pyspark.sql import functions as F
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-IMAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "100000"))
-TILE_IMAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_TILE_IMAGES", "20000"))
+IMAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "500000"))
+TILE_IMAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_TILE_IMAGES", "40000"))
 CACHE_DIR = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/geowave_bench")
 
 
@@ -92,7 +92,9 @@ def main():
     pts_path = materialize_points(spark, IMAGES_N)
     tile_path = materialize_images(spark, TILE_IMAGES_N)
 
-    pts = spark.read.parquet(pts_path)
+    # spread the small parquet across all cores (a cluster reading TBs gets
+    # this from file splits; local-mode tiny files collapse to few splits)
+    pts = spark.read.parquet(pts_path).repartition(CPUS * 2)
     regions = spark.createDataFrame(regions_pdf(2000))
 
     timings: dict[str, float] = {}
@@ -124,7 +126,7 @@ def main():
     right = pts.select(F.col("image_id").alias("rid"), "lon", "lat")
     run(
         "spatial_self_join",
-        lambda: distance_join(pts, right, 0.02, "image_id", "rid").count(),
+        lambda: distance_join(pts, right, 0.01, "image_id", "rid").count(),
         rows_in=2 * IMAGES_N,
     )
 
@@ -132,22 +134,22 @@ def main():
     # (radius 0.01 → build tier ≈ 12, cell ≈ 0.09°; the probe cluster spans
     # ~1e-5°).  Unsalted, the single (tier, cell) key serializes the join on
     # one reducer; salting splits it across `salt` reducers (north-rule demo).
-    hot_n = 20000
+    hot_n = 40000
     hot_probe = (
-        spark.range(hot_n)
+        spark.range(0, hot_n, 1, CPUS * 2)
         .select(
             F.col("id").alias("hid"),
-            (F.lit(10.0) + (F.col("id") % 1000) * 1e-8).alias("lon"),
-            (F.lit(10.0) + (F.col("id") % 997) * 1e-8).alias("lat"),
+            (F.lit(10.0) + (F.col("id") % 1000) * 8.8e-5).alias("lon"),
+            (F.lit(10.0) + ((F.col("id") * 7919) % 997) * 8.8e-5).alias("lat"),
         )
         .cache()
     )
     hot_build = (
-        spark.range(200)
+        spark.range(400)
         .select(
             F.col("id").alias("bid"),
-            (F.lit(10.0) + (F.col("id") % 200) * 1e-8).alias("lon"),
-            (F.lit(10.0) + (F.col("id") % 197) * 1e-8).alias("lat"),
+            (F.lit(10.044) + (F.col("id") % 400) * 1e-7).alias("lon"),
+            (F.lit(10.044) + (F.col("id") % 397) * 1e-7).alias("lat"),
         )
         .cache()
     )
@@ -168,7 +170,7 @@ def main():
             pts,
             right.withColumnRenamed("rid", "cid"),
             k=5,
-            max_distance=0.05,
+            max_distance=0.03,
             query_id="image_id",
             candidate_id="cid",
             exclude_self=True,

@@ -1,0 +1,140 @@
+"""DBSCAN over a point DataFrame — grid-ring neighbor join + iterative
+connected components.
+
+Re-expression of GeoWave's DBSCAN job (analytics/mapreduce/.../dbscan/
+DBScanMapReduce.java + DBScanIterationsJobRunner.java — iterative NN-based
+cluster merge).  Spark-first shape:
+
+1. neighbor edges: the kNN grid trick (cell edge = eps, probe exploded to
+   the 3×3 ring, hash equi-join, Catalyst distance filter) with no top-k
+   cap — one shuffle, no Python;
+2. core points: ``|N_eps(p)| + 1 ≥ min_pts`` (count includes the point);
+3. cluster labels: min-label propagation over core↔core edges (the
+   standard large-star/small-star style CC loop), driver-bounded
+   iterations with ``localCheckpoint`` lineage truncation — cluster id =
+   min core-point id in the component (deterministic);
+4. border points: non-core with ≥1 core neighbor join the minimum
+   neighboring cluster label (deterministic tie-break); everything else is
+   noise (label NULL).
+
+Scale notes: each iteration is one shuffle on the edge set; iterations are
+bounded by the component graph's diameter (label-doubling makes it
+~log(diameter) in practice since labels hop through the min-aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _neighbor_edges(
+    points: DataFrame, eps: float, id_col: str, lon: str, lat: str
+) -> DataFrame:
+    cs = float(eps)
+    cand = points.select(
+        F.col(id_col).alias("_bid"),
+        F.col(lon).alias("_blon"),
+        F.col(lat).alias("_blat"),
+        F.floor((F.col(lon) + F.lit(180.0)) / F.lit(cs)).alias("_cx"),
+        F.floor((F.col(lat) + F.lit(90.0)) / F.lit(cs)).alias("_cy"),
+    )
+    spark = points.sparkSession
+    ring = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    )
+    probe = (
+        points.select(
+            F.col(id_col).alias("_aid"),
+            F.col(lon).alias("_alon"),
+            F.col(lat).alias("_alat"),
+        )
+        .crossJoin(F.broadcast(ring))
+        .select(
+            "_aid",
+            "_alon",
+            "_alat",
+            (F.floor((F.col("_alon") + F.lit(180.0)) / F.lit(cs)) + F.col("dx")).alias("_cx"),
+            (F.floor((F.col("_alat") + F.lit(90.0)) / F.lit(cs)) + F.col("dy")).alias("_cy"),
+        )
+    )
+    dx = F.col("_alon") - F.col("_blon")
+    dy = F.col("_alat") - F.col("_blat")
+    return (
+        probe.join(cand, ["_cx", "_cy"])
+        .where((dx * dx + dy * dy <= F.lit(cs * cs)) & (F.col("_aid") != F.col("_bid")))
+        .select(F.col("_aid").alias("a"), F.col("_bid").alias("b"))
+    )
+
+
+def dbscan(
+    points: DataFrame,
+    eps: float,
+    min_pts: int,
+    id_col: str = "image_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    max_iter: int = 25,
+) -> DataFrame:
+    """→ (id_col, cluster, is_core); cluster NULL = noise.
+
+    ``cluster`` is the minimum core-point id of the component (stable,
+    deterministic across runs and partitionings).
+    """
+    edges = _neighbor_edges(points, eps, id_col, lon, lat).persist()
+    degree = edges.groupBy("a").agg(F.count(F.lit(1)).alias("_deg"))
+    core = degree.where(F.col("_deg") + 1 >= min_pts).select(F.col("a").alias("_id")).persist()
+
+    cc_edges = (
+        edges.join(core.withColumnRenamed("_id", "a"), "a")
+        .join(core.withColumnRenamed("_id", "b"), "b")
+        .select("a", "b")
+        .persist()
+    )
+
+    labels = core.select(F.col("_id"), F.col("_id").alias("_lbl")).localCheckpoint()
+    for _ in range(max_iter):
+        neigh = (
+            cc_edges.join(labels.withColumnRenamed("_id", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("_lbl").alias("_nlbl"))
+        )
+        new_labels = (
+            labels.join(neigh.withColumnRenamed("a", "_id"), "_id", "left")
+            .select(
+                "_id",
+                F.least(F.col("_lbl"), F.coalesce(F.col("_nlbl"), F.col("_lbl"))).alias("_lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("_lbl", "_new")
+            .join(labels, "_id")
+            .where(F.col("_new") != F.col("_lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    core_labeled = labels.select(F.col("_id").alias(id_col), F.col("_lbl").alias("cluster"))
+    # border points: non-core touching ≥1 core — take the min neighbor label
+    border = (
+        edges.join(core.withColumnRenamed("_id", "b"), "b")
+        .join(core.withColumnRenamed("_id", "a"), "a", "left_anti")
+        .join(labels.withColumnRenamed("_id", "b"), "b")
+        .groupBy("a")
+        .agg(F.min("_lbl").alias("cluster"))
+        .select(F.col("a").alias(id_col), "cluster")
+    )
+    out = (
+        points.select(id_col)
+        .join(core_labeled.withColumn("is_core", F.lit(True)), id_col, "left")
+        .join(border.withColumnRenamed("cluster", "_bcluster"), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster"), F.col("_bcluster")).alias("cluster"),
+            F.coalesce(F.col("is_core"), F.lit(False)).alias("is_core"),
+        )
+    )
+    return out

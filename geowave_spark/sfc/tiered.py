@@ -74,7 +74,49 @@ class TieredStrategy:
         ≤ max_duplicates cells (cell count is monotone non-increasing as the
         tier coarsens, so the first qualifying tier walking fine→coarse is
         the max qualifying tier).
+
+        Envelopes with ``minx > maxx`` wrap the antimeridian and are split
+        into two bin ranges, each indexed independently (per-part tier
+        choice) — LongitudeDefinition.java:41-84 semantics.
         """
+        minx = np.asarray(minx, dtype=np.float64)
+        maxx = np.asarray(maxx, dtype=np.float64)
+        miny = np.asarray(miny, dtype=np.float64)
+        maxy = np.asarray(maxy, dtype=np.float64)
+        wrap = minx > maxx
+        if wrap.any():
+            base_row, base_tier, base_cell = self._envelope_ids_nowrap(
+                np.where(wrap, self.dim_x.min, minx),
+                miny,
+                np.where(wrap, self.dim_x.max, maxx),
+                maxy,
+                max_duplicates,
+            )
+            keep = ~wrap[base_row]
+            parts = [(base_row[keep], base_tier[keep], base_cell[keep])]
+            widx = np.nonzero(wrap)[0]
+            for lo, hi in ((minx[widx], np.full(len(widx), self.dim_x.max)),
+                           (np.full(len(widx), self.dim_x.min), maxx[widx])):
+                r, t, c = self._envelope_ids_nowrap(lo, miny[widx], hi, maxy[widx], max_duplicates)
+                parts.append((widx[r], t, c))
+            row = np.concatenate([p[0] for p in parts])
+            tier = np.concatenate([p[1] for p in parts])
+            cell = np.concatenate([p[2] for p in parts])
+            # a wrapped envelope's two parts may share coarse cells — dedupe
+            key = (row.astype(np.int64) << 6 | tier.astype(np.int64)), cell
+            _, uniq = np.unique(np.stack([key[0], key[1]]), axis=1, return_index=True)
+            uniq.sort()
+            return row[uniq], tier[uniq], cell[uniq]
+        return self._envelope_ids_nowrap(minx, miny, maxx, maxy, max_duplicates)
+
+    def _envelope_ids_nowrap(
+        self,
+        minx: np.ndarray,
+        miny: np.ndarray,
+        maxx: np.ndarray,
+        maxy: np.ndarray,
+        max_duplicates: int = DEFAULT_MAX_DUPLICATES,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         T = self.max_bits
         ixmin = self.dim_x.to_bins(np.asarray(minx), T).astype(np.int64)
         ixmax = self.dim_x.to_bins(np.asarray(maxx), T).astype(np.int64)

@@ -171,6 +171,31 @@ class TestTiered:
         _, ranges = self.strat.decompose_bbox(-170, -80, 170, 80, max_ranges=16)
         assert len(ranges) <= 16
 
+    def test_dateline_wrapping_envelope(self):
+        """minx > maxx wraps the antimeridian: cells from both sides, no
+        false negatives for points in either part (LongitudeDefinition)."""
+        row, tier, cell = self.strat.envelope_insertion_ids(
+            np.array([175.0, 0.0]), np.array([10.0, 10.0]),
+            np.array([-175.0, 1.0]), np.array([11.0, 11.0]),
+            max_duplicates=8,
+        )
+        assert set(row.tolist()) == {0, 1}
+        m = row == 0
+        # points on both sides of the dateline must map into emitted cells
+        for px in [176.0, 179.9, -179.9, -176.0]:
+            py = 10.5
+            covered = False
+            for t in np.unique(tier[m]):
+                tm = m & (tier == t)
+                ix = self.strat.dim_x.to_bins(np.array([px]), int(t))
+                iy = self.strat.dim_y.to_bins(np.array([py]), int(t))
+                pc = xy_to_hilbert(ix, iy, int(t)).astype(np.int64)[0] if t > 0 else 0
+                covered |= bool(np.isin(pc, cell[tm]))
+            assert covered, px
+        # no duplicate (row, tier, cell) triples
+        trip = set(zip(row.tolist(), tier.tolist(), cell.tolist()))
+        assert len(trip) == len(row)
+
 
 class TestDimensions:
     def test_dateline_split(self):
