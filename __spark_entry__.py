@@ -344,7 +344,7 @@ def q_scalar_functions(spark, sf_dir):
         F.abs(F.col("l_discount") - F.lit(0.05)).alias("abs_disc"),
         F.concat(F.col("l_returnflag"), F.lit("-"), F.col("l_linestatus")).alias("flag_status"),
         F.col("l_quantity").cast("string").alias("qty_text"),
-        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4).alias("unit_price"),
+        F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 10000).cast("long").alias("unit_price_e4"),
     )
 
 
@@ -706,7 +706,7 @@ SELECT l_orderkey,
        abs(l_discount - 0.05) AS abs_disc,
        l_returnflag || '-' || l_linestatus AS flag_status,
        CAST(l_quantity AS VARCHAR) AS qty_text,
-       round(l_extendedprice / l_quantity, 4) AS unit_price
+       CAST(floor(l_extendedprice / l_quantity * 10000) AS BIGINT) AS unit_price_e4
 FROM lineitem WHERE l_linenumber = 1
 """,
         "dedup_exact_docs": """

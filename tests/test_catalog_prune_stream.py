@@ -116,12 +116,17 @@ class TestStreaming:
 
         stream = synthetic_point_stream(spark, rows_per_second=500)
         q = ingest_to_table(stream, str(tmp_path / "tbl"), str(tmp_path / "ckpt"))
-        deadline = time.time() + 60
-        while time.time() < deadline and not glob.glob(
-            str(tmp_path / "tbl" / "data" / "tier=*" / "part-*")
+        # Wait until at least one micro-batch with rows has COMMITTED
+        # (recentProgress only reports completed batches); the file sink's
+        # _spark_metadata log then guarantees the read below sees only
+        # committed files even if q.stop() interrupts an in-flight write.
+        deadline = time.time() + 90
+        while time.time() < deadline and not any(
+            p["numInputRows"] > 0 for p in q.recentProgress
         ):
             time.sleep(1)
         q.stop()
+        q.awaitTermination(30)
         out = spark.read.parquet(str(tmp_path / "tbl" / "data"))
         n = out.count()
         assert n > 0 and set(["cell", "lon", "lat"]) <= set(out.columns)
