@@ -190,6 +190,187 @@ def with_polygon_cells(
     )
 
 
+def distinct_envelope_tiers(
+    df: DataFrame,
+    minx: Column,
+    miny: Column,
+    maxx: Column,
+    maxy: Column,
+    strategy: TieredStrategy = DEFAULT_STRATEGY,
+    max_duplicates: int = 4,
+) -> list[int]:
+    """Distinct build-side tiers from a light tier-only scan (no cell
+    explosion, no persist) — the analog of the reference's tier-byte
+    collectAsync (TieredSpatialJoin.java:174-191)."""
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _tiers(mnx: pd.Series, mny: pd.Series, mxx: pd.Series, mxy: pd.Series) -> pd.Series:
+        t = strategy.envelope_tiers(
+            mnx.to_numpy(np.float64),
+            mny.to_numpy(np.float64),
+            mxx.to_numpy(np.float64),
+            mxy.to_numpy(np.float64),
+            max_duplicates=max_duplicates,
+        )
+        # envelope_tiers appends wrapped-part tiers at the tail; per-batch
+        # the distinct SET is all a tier-collect needs, so emit it on the
+        # first row and empty arrays elsewhere (cheap: ≤32 ints per batch)
+        u = np.unique(t).astype(np.int32).tolist()
+        out = [[] for _ in range(len(mnx))]
+        if out:
+            out[0] = u
+        return pd.Series(out)
+
+    rows = (
+        df.select(F.explode(_tiers(minx, miny, maxx, maxy)).alias("tier"))
+        .distinct()
+        .collect()
+    )
+    return sorted(int(r["tier"]) for r in rows)
+
+
+def point_cell_at_tier_udf(strategy: TieredStrategy, tier: int):
+    """Pandas UDF: (lon, lat) → Hilbert cell at one fixed tier."""
+
+    @F.pandas_udf(LongType())
+    def _cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        c = strategy.point_cells_at_tier(
+            lon.to_numpy(np.float64), lat.to_numpy(np.float64), tier
+        )
+        return pd.Series(c)
+
+    return _cell
+
+
+def explode_envelope_cells(
+    df: DataFrame,
+    minx: Column,
+    miny: Column,
+    maxx: Column,
+    maxy: Column,
+    keep: list[str],
+    strategy: TieredStrategy = DEFAULT_STRATEGY,
+    max_duplicates: int = 4,
+    tier: int | None = None,
+) -> DataFrame:
+    """Flat explode of envelope insertion ids via ``mapInPandas``.
+
+    Output = one row per (tier, cell) per input row with columns
+    ``keep + [tier, cell]``.  Unlike :func:`envelope_cells_udf` (which
+    materializes array<struct> as Python dicts and then explodes), every
+    column here stays a numpy array end-to-end — the Arrow exchange carries
+    no Python objects, which is ~an order of magnitude cheaper at the
+    millions-of-cells scale the join build side produces.
+    """
+    src = df.select(
+        *[F.col(c) for c in keep],
+        minx.alias("_minx"),
+        miny.alias("_miny"),
+        maxx.alias("_maxx"),
+        maxy.alias("_maxy"),
+    )
+    out_schema = StructType(
+        [src.schema[c] for c in keep]
+        + [StructField("tier", IntegerType()), StructField("cell", LongType())]
+    )
+
+    def _gen(batches):
+        for pdf in batches:
+            env = (
+                pdf["_minx"].to_numpy(np.float64),
+                pdf["_miny"].to_numpy(np.float64),
+                pdf["_maxx"].to_numpy(np.float64),
+                pdf["_maxy"].to_numpy(np.float64),
+            )
+            if tier is None:
+                row, tiers, cell = strategy.envelope_insertion_ids(
+                    *env, max_duplicates=max_duplicates
+                )
+            else:
+                row, cell = strategy.envelope_cells_at_tier(*env, tier)
+                tiers = np.full(len(row), tier, dtype=np.int64)
+            out = pdf.iloc[row, : len(keep)].reset_index(drop=True)
+            out["tier"] = tiers.astype(np.int32)
+            out["cell"] = cell
+            yield out
+
+    return src.mapInPandas(_gen, out_schema)
+
+
+def polygon_cells_np(
+    wkts,
+    strategy: TieredStrategy = DEFAULT_STRATEGY,
+    max_duplicates: int = 4,
+    buffer: float = 0.0,
+    trim: bool = True,
+    polys=None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Insertion cells for a batch of WKT polygons → (row_index, tier, cell)
+    numpy arrays, with trimIndexIds pruning (RDDUtils.java:158-184: when an
+    entity received more than 3 cells, drop cells whose rectangle does not
+    intersect the buffered geometry).  Shared by the executor-side
+    mapInPandas explode and the driver-side broadcast-build path."""
+    n = len(wkts)
+    if polys is None:
+        polys = [parse_wkt(w)[1] for w in wkts]
+    env = np.array([polygon_envelope(p) for p in polys], dtype=np.float64).reshape(n, 4)
+    row, tier, cell = strategy.envelope_insertion_ids(
+        env[:, 0] - buffer,
+        env[:, 1] - buffer,
+        env[:, 2] + buffer,
+        env[:, 3] + buffer,
+        max_duplicates=max_duplicates,
+    )
+    keep_mask = np.ones(len(row), dtype=bool)
+    if trim and len(row):
+        counts = np.bincount(row, minlength=n)
+        for i in np.nonzero(counts > 3)[0]:
+            m = row == i
+            t = int(tier[m][0])
+            if t == 0:
+                continue
+            cx, cy = hilbert_to_xy(cell[m].astype(np.uint64), t)
+            span_x = strategy.dim_x.range / (1 << t)
+            span_y = strategy.dim_y.range / (1 << t)
+            rminx = strategy.dim_x.min + cx.astype(np.float64) * span_x - buffer
+            rminy = strategy.dim_y.min + cy.astype(np.float64) * span_y - buffer
+            hit = cell_rect_intersects_polygon(
+                rminx, rminy, rminx + span_x + 2 * buffer, rminy + span_y + 2 * buffer, polys[i]
+            )
+            keep_mask[np.nonzero(m)[0][~hit]] = False
+    return row[keep_mask], tier[keep_mask], cell[keep_mask]
+
+
+def explode_polygon_cells(
+    df: DataFrame,
+    wkt_col: str,
+    keep: list[str],
+    strategy: TieredStrategy = DEFAULT_STRATEGY,
+    max_duplicates: int = 4,
+    buffer: float = 0.0,
+    trim: bool = True,
+) -> DataFrame:
+    """Flat explode of polygon insertion ids (with trimIndexIds pruning)
+    via ``mapInPandas`` — see :func:`explode_envelope_cells`."""
+    src = df.select(*[F.col(c) for c in keep], F.col(wkt_col).alias("_wkt"))
+    out_schema = StructType(
+        [src.schema[c] for c in keep]
+        + [StructField("tier", IntegerType()), StructField("cell", LongType())]
+    )
+
+    def _gen(batches):
+        for pdf in batches:
+            row, tier, cell = polygon_cells_np(
+                list(pdf["_wkt"]), strategy, max_duplicates, buffer, trim
+            )
+            out = pdf.iloc[row, : len(keep)].reset_index(drop=True)
+            out["tier"] = tier.astype(np.int32)
+            out["cell"] = cell
+            yield out
+
+    return src.mapInPandas(_gen, out_schema)
+
+
 def cell_at_tier(top_cell: str, tier: str, max_bits: int = 31) -> Column:
     """Re-project a top-tier point cell to a coarser tier — pure Catalyst.
 

@@ -295,3 +295,78 @@ def _segments_hit_rect(x1, y1, x2, y2, rminx, rminy, rmaxx, rmaxy) -> bool:
         t0 = np.maximum(t0, np.where(np.isfinite(ent), ent, t0))
         t1 = np.minimum(t1, np.where(np.isfinite(ext), ext, t1))
     return bool((ok & (t0 <= t1)).any())
+
+
+class LocalPolygonGrid:
+    """Uniform grid index over a (collected) polygon set, for map-side
+    point⋈polygon joins.
+
+    The Spark-side analog is still a cell-key hash join — here the hash
+    lookup runs inside the Arrow batch (numpy searchsorted on packed cell
+    keys) against a broadcast index, so the probe side needs no shuffle and
+    no tier explosion.  Cell size adapts to the median (buffered) envelope
+    so a polygon covers ~1-4 cells and a point's candidate list stays short
+    even when polygon sizes vary by orders of magnitude.
+
+    Everything is plain numpy arrays, so the object pickles efficiently
+    into a Spark broadcast.
+    """
+
+    def __init__(self, ids, polys, buffer: float = 0.0):
+        self.ids = np.asarray(ids, dtype=object)
+        self.padded = pad_rings(polys) if polys else np.zeros((0, 1, 2))
+        env = np.array(
+            [polygon_envelope(p) for p in polys], dtype=np.float64
+        ).reshape(len(polys), 4)
+        env[:, 0] -= buffer
+        env[:, 1] -= buffer
+        env[:, 2] += buffer
+        env[:, 3] += buffer
+        if len(polys):
+            w = np.median(np.maximum(env[:, 2] - env[:, 0], env[:, 3] - env[:, 1]))
+            self.cell = max(float(w), 1e-9)
+        else:
+            self.cell = 1.0
+        gx0 = np.floor(env[:, 0] / self.cell).astype(np.int64)
+        gx1 = np.floor(env[:, 2] / self.cell).astype(np.int64)
+        gy0 = np.floor(env[:, 1] / self.cell).astype(np.int64)
+        gy1 = np.floor(env[:, 3] / self.cell).astype(np.int64)
+        cnx = gx1 - gx0 + 1
+        cnt = cnx * (gy1 - gy0 + 1)
+        code = np.repeat(np.arange(len(polys), dtype=np.int64), cnt)
+        starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        off = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(starts, cnt)
+        gx = gx0[code] + off % cnx[code]
+        gy = gy0[code] + off // cnx[code]
+        key = self._pack(gx, gy)
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        self.codes = code[order]
+        self.keys, first = np.unique(key, return_index=True)
+        self.starts = np.concatenate([first, [len(key)]])
+
+    @staticmethod
+    def _pack(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
+        return ((gx + (1 << 31)) << 32) | (gy + (1 << 31))
+
+    def candidates(self, px: np.ndarray, py: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(probe_row_index, polygon_code) candidate pairs for N points."""
+        if not len(self.keys) or not len(px):
+            z = np.zeros(0, dtype=np.int64)
+            return z, z
+        key = self._pack(
+            np.floor(px / self.cell).astype(np.int64),
+            np.floor(py / self.cell).astype(np.int64),
+        )
+        idx = np.searchsorted(self.keys, key)
+        idx_c = np.minimum(idx, len(self.keys) - 1)
+        hit = self.keys[idx_c] == key
+        rows = np.nonzero(hit)[0]
+        b = self.starts[idx_c[rows]]
+        e = self.starts[idx_c[rows] + 1]
+        cnt = e - b
+        rowrep = np.repeat(rows, cnt)
+        starts2 = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        off = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(starts2, cnt)
+        codes = self.codes[np.repeat(b, cnt) + off]
+        return rowrep, codes

@@ -29,16 +29,37 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # sized for local-mode data volumes: keep enough post-shuffle and
-        # scan partitions that all cores stay busy (the 64 MB/128 MB
-        # defaults collapse small benchmarks to 1-2 partitions; on a real
-        # cluster with TB-scale inputs the defaults are fine)
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+        # scan parallelism for small local files (cluster defaults are fine
+        # at TB scale); post-shuffle sizing is left to AQE's default 64 MB
+        # advisory + parallelismFirst — forcing a small advisory size
+        # measurably hurts (many tiny partitions ⇒ per-task overhead)
         .config("spark.sql.files.maxPartitionBytes", "32m")
+        # local mode shuffles through RAM (spark.local.dir on /dev/shm) with
+        # no network hop, so compression is pure CPU cost; a real cluster
+        # re-enables it via SPARK_GRAFT_SHUFFLE_COMPRESS=true
+        .config(
+            "spark.shuffle.compress",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"),
+        )
+        .config(
+            "spark.shuffle.spill.compress",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"),
+        )
         .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # shuffle/spill scratch: prefer RAM-backed storage in local mode —
+        # a single VM disk serializes 32 concurrent shuffle writers (3×
+        # slowdown measured); a real cluster instead sets this to per-node
+        # NVMe via SPARK_GRAFT_LOCAL_DIR / spark-defaults
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_GRAFT_LOCAL_DIR",
+                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")

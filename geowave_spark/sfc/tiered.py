@@ -109,6 +109,114 @@ class TieredStrategy:
             return row[uniq], tier[uniq], cell[uniq]
         return self._envelope_ids_nowrap(minx, miny, maxx, maxy, max_duplicates)
 
+    def _tier_bins(self, minx, miny, maxx, maxy):
+        T = self.max_bits
+        return (
+            self.dim_x.to_bins(np.asarray(minx), T).astype(np.int64),
+            self.dim_x.to_bins(np.asarray(maxx), T).astype(np.int64),
+            self.dim_y.to_bins(np.asarray(miny), T).astype(np.int64),
+            self.dim_y.to_bins(np.asarray(maxy), T).astype(np.int64),
+        )
+
+    def _select_tiers(self, ixmin, ixmax, iymin, iymax, max_duplicates):
+        """Finest tier per envelope with ≤ max_duplicates cells — (N,) array."""
+        T = self.max_bits
+        # (N, T+1) cell extents per tier via prefix truncation of top-tier bins
+        shifts = (T - np.arange(T + 1)).astype(np.int64)  # tier t -> shift T-t
+        nx = (ixmax[:, None] >> shifts[None, :]) - (ixmin[:, None] >> shifts[None, :]) + 1
+        ny = (iymax[:, None] >> shifts[None, :]) - (iymin[:, None] >> shifts[None, :]) + 1
+        counts = nx * ny  # estimated id count per tier (cf. PrimitiveHilbertSFCOperations.java:415-436)
+        ok = counts <= max_duplicates
+        # max tier with ok (tier 0 always ok: 1 cell)
+        tiers = np.arange(T + 1, dtype=np.int64)
+        return np.where(ok, tiers[None, :], -1).max(axis=1)
+
+    def tier_for_width(self, w_x: float, w_y: float) -> int:
+        """Finest tier whose cell span covers ``w`` in both dims — i.e. any
+        envelope of that size lands in ≤2 cells/dim (≤4 total) at this tier.
+
+        The single-tier grid rule of the reference's NN partitioner
+        (AbstractPartitioner.java:230-267: grid sized from the query
+        distance); used by the distance join so the tier is known
+        driver-side with no data scan."""
+        import math
+
+        t = self.max_bits
+        for dim, w in ((self.dim_x, w_x), (self.dim_y, w_y)):
+            if w > 0:
+                t = min(t, int(math.floor(math.log2(dim.range / w))))
+        return max(0, min(self.max_bits, t))
+
+    def envelope_cells_at_tier(
+        self,
+        minx: np.ndarray,
+        miny: np.ndarray,
+        maxx: np.ndarray,
+        maxy: np.ndarray,
+        tier: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """All cells covered by each envelope at one fixed tier —
+        (row_index, cell) arrays (single-tier analog of
+        :meth:`envelope_insertion_ids`; no tier-selection matrix)."""
+        t = int(tier)
+        sh = np.int64(self.max_bits - t)
+        a_x = self.dim_x.to_bins(np.asarray(minx), self.max_bits).astype(np.int64) >> sh
+        b_x = self.dim_x.to_bins(np.asarray(maxx), self.max_bits).astype(np.int64) >> sh
+        a_y = self.dim_y.to_bins(np.asarray(miny), self.max_bits).astype(np.int64) >> sh
+        b_y = self.dim_y.to_bins(np.asarray(maxy), self.max_bits).astype(np.int64) >> sh
+        cnx = b_x - a_x + 1
+        cnt = cnx * (b_y - a_y + 1)
+        n = a_x.shape[0]
+        row = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        off = np.arange(cnt.sum(), dtype=np.int64) - np.repeat(starts, cnt)
+        ix = a_x[row] + off % cnx[row]
+        iy = a_y[row] + off // cnx[row]
+        if t == 0:
+            return row, np.zeros(len(row), dtype=np.int64)
+        return row, xy_to_hilbert(ix.astype(np.uint64), iy.astype(np.uint64), t).astype(np.int64)
+
+    def point_cells_at_tier(self, x: np.ndarray, y: np.ndarray, tier: int) -> np.ndarray:
+        """Hilbert cell ids for points at a fixed tier."""
+        t = int(tier)
+        if t == 0:
+            return np.zeros(np.asarray(x).shape[0], dtype=np.int64)
+        ix = self.dim_x.to_bins(np.asarray(x), t)
+        iy = self.dim_y.to_bins(np.asarray(y), t)
+        return xy_to_hilbert(ix, iy, t).astype(np.int64)
+
+    def envelope_tiers(
+        self,
+        minx: np.ndarray,
+        miny: np.ndarray,
+        maxx: np.ndarray,
+        maxy: np.ndarray,
+        max_duplicates: int = DEFAULT_MAX_DUPLICATES,
+    ) -> np.ndarray:
+        """Tier-only variant of :meth:`envelope_insertion_ids` — used to learn
+        the distinct build-side tier set without materializing the exploded
+        cells (the reference instead collects tier bytes off the indexed RDD,
+        TieredSpatialJoin.java:174-191).  Wrapped (dateline) envelopes report
+        the tier of each split part."""
+        minx = np.asarray(minx, dtype=np.float64)
+        maxx = np.asarray(maxx, dtype=np.float64)
+        wrap = minx > maxx
+        ixmin, ixmax, iymin, iymax = self._tier_bins(
+            np.where(wrap, self.dim_x.min, minx), miny, np.where(wrap, self.dim_x.max, maxx), maxy
+        )
+        out = self._select_tiers(ixmin, ixmax, iymin, iymax, max_duplicates)
+        if wrap.any():
+            widx = np.nonzero(wrap)[0]
+            miny = np.asarray(miny, dtype=np.float64)
+            maxy = np.asarray(maxy, dtype=np.float64)
+            parts = []
+            for lo, hi in ((minx[widx], np.full(len(widx), self.dim_x.max)),
+                           (np.full(len(widx), self.dim_x.min), maxx[widx])):
+                b = self._tier_bins(lo, miny[widx], hi, maxy[widx])
+                parts.append(self._select_tiers(*b, max_duplicates))
+            out = np.concatenate([out[~wrap], parts[0], parts[1]])
+        return out
+
     def _envelope_ids_nowrap(
         self,
         minx: np.ndarray,
@@ -118,21 +226,9 @@ class TieredStrategy:
         max_duplicates: int = DEFAULT_MAX_DUPLICATES,
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         T = self.max_bits
-        ixmin = self.dim_x.to_bins(np.asarray(minx), T).astype(np.int64)
-        ixmax = self.dim_x.to_bins(np.asarray(maxx), T).astype(np.int64)
-        iymin = self.dim_y.to_bins(np.asarray(miny), T).astype(np.int64)
-        iymax = self.dim_y.to_bins(np.asarray(maxy), T).astype(np.int64)
+        ixmin, ixmax, iymin, iymax = self._tier_bins(minx, miny, maxx, maxy)
         n = ixmin.shape[0]
-
-        # (N, T+1) cell extents per tier via prefix truncation of top-tier bins
-        shifts = (T - np.arange(T + 1)).astype(np.int64)  # tier t -> shift T-t
-        nx = (ixmax[:, None] >> shifts[None, :]) - (ixmin[:, None] >> shifts[None, :]) + 1
-        ny = (iymax[:, None] >> shifts[None, :]) - (iymin[:, None] >> shifts[None, :]) + 1
-        counts = nx * ny  # estimated id count per tier (cf. PrimitiveHilbertSFCOperations.java:415-436)
-        ok = counts <= max_duplicates
-        # max tier with ok (tier 0 always ok: 1 cell)
-        tiers = np.arange(T + 1, dtype=np.int64)
-        sel_tier = np.where(ok, tiers[None, :], -1).max(axis=1)
+        sel_tier = self._select_tiers(ixmin, ixmax, iymin, iymax, max_duplicates)
 
         sh = (T - sel_tier).astype(np.int64)
         a_x = ixmin >> sh
