@@ -32,6 +32,16 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 IMAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "500000"))
 TILE_IMAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_TILE_IMAGES", "40000"))
 CACHE_DIR = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/geowave_bench")
+# join radius: default keeps expected pair count roughly constant as the
+# input grows (pairs ~ N^2 r^2), so bigger scaling runs don't blow up the
+# output side; fixed via env for apples-to-apples comparisons
+RADIUS = float(
+    os.environ.get("SPARK_GRAFT_BENCH_RADIUS", 0.01 * (500_000 / IMAGES_N) ** 0.5)
+)
+# partitioning is part of the job definition and stays FIXED across the
+# N-vs-4N scaling runs (only the core count varies): 4 waves at the high
+# parallelism level keeps skewed tasks load-balanced at both levels
+PARTS = int(os.environ.get("SPARK_GRAFT_BENCH_PARTS", "128"))
 
 
 def materialize_images(spark, n: int) -> str:
@@ -86,7 +96,7 @@ def main():
 
     import __spark_entry__ as entry
 
-    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS * 2, 16))
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=PARTS)
     ensure_py_files(spark)
 
     pts_path = materialize_points(spark, IMAGES_N)
@@ -94,7 +104,7 @@ def main():
 
     # spread the small parquet across all cores (a cluster reading TBs gets
     # this from file splits; local-mode tiny files collapse to few splits)
-    pts = spark.read.parquet(pts_path).repartition(CPUS * 2)
+    pts = spark.read.parquet(pts_path).repartition(PARTS)
     regions = spark.createDataFrame(regions_pdf(2000))
 
     timings: dict[str, float] = {}
@@ -126,7 +136,7 @@ def main():
     right = pts.select(F.col("image_id").alias("rid"), "lon", "lat")
     run(
         "spatial_self_join",
-        lambda: distance_join(pts, right, 0.01, "image_id", "rid").count(),
+        lambda: distance_join(pts, right, RADIUS, "image_id", "rid").count(),
         rows_in=2 * IMAGES_N,
     )
 
@@ -136,7 +146,7 @@ def main():
     # one reducer; salting splits it across `salt` reducers (north-rule demo).
     hot_n = 40000
     hot_probe = (
-        spark.range(0, hot_n, 1, CPUS * 2)
+        spark.range(0, hot_n, 1, PARTS)
         .select(
             F.col("id").alias("hid"),
             (F.lit(10.0) + (F.col("id") % 1000) * 8.8e-5).alias("lon"),
@@ -170,7 +180,7 @@ def main():
             pts,
             right.withColumnRenamed("rid", "cid"),
             k=5,
-            max_distance=0.03,
+            max_distance=3.0 * RADIUS,
             query_id="image_id",
             candidate_id="cid",
             exclude_self=True,

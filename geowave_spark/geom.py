@@ -370,3 +370,25 @@ class LocalPolygonGrid:
         off = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(starts2, cnt)
         codes = self.codes[np.repeat(b, cnt) + off]
         return rowrep, codes
+
+
+def rings_edges_proper_cross(a: np.ndarray, b: np.ndarray) -> bool:
+    """Any PROPER edge crossing between two rings: segments intersect at a
+    single interior point of both (excludes endpoint contact and collinear
+    overlap).  Distinguishes interiors-overlap from boundary-only touch."""
+    ra = a[:-1] if np.array_equal(a[0], a[-1]) else a
+    rb = b[:-1] if np.array_equal(b[0], b[-1]) else b
+    p = ra
+    r = np.roll(ra, -1, axis=0) - ra
+    q = rb
+    s = np.roll(rb, -1, axis=0) - rb
+    # (E1, E2) pairwise
+    rxs = r[:, None, 0] * s[None, :, 1] - r[:, None, 1] * s[None, :, 0]
+    qp = q[None, :, :] - p[:, None, :]
+    qpxs = qp[:, :, 0] * s[None, :, 1] - qp[:, :, 1] * s[None, :, 0]
+    qpxr = qp[:, :, 0] * r[:, None, 1] - qp[:, :, 1] * r[:, None, 0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = qpxs / rxs
+        u = qpxr / rxs
+    proper = (rxs != 0) & (t > 0) & (t < 1) & (u > 0) & (u < 1)
+    return bool(proper.any())

@@ -1,25 +1,179 @@
-"""kNN via cell-ring expansion — entirely Catalyst-native.
+"""kNN via supercell + halo cogrouping, with dense-group chunk splitting.
 
 Re-expression of GeoWave's NNMapReduce
 (analytics/mapreduce/.../nn/NNMapReduce.java:94-226) +
 OrthodromicDistancePartitioner (analytics/api/.../partitioner/
-AbstractPartitioner.java:80-132): partition space into a grid of cells with
-edge ≥ max_distance, assign each candidate to its primary cell, duplicate
-each query point into its cell *and the 8 neighbors* (the H3 grid_disk(1)
-ring analog — primary/secondary cell semantics), then all true neighbors
-within max_distance are guaranteed co-located with the query.
+AbstractPartitioner.java:80-132).  The reference partitions space into
+cells of edge ≥ max_distance, duplicates entities into neighbor cells
+("secondary" partitions) and runs an in-memory pairwise pass per
+partition.  This engine keeps the same guarantee but picks the partition
+size adaptively and replaces the pairwise pass with a sub-linear search:
 
-The whole operator is built-in Spark: integer grid keys via floor
-arithmetic, one hash equi-join, whole-stage-codegen distance filter, and a
-window ``row_number() <= k`` for the per-item top-K cap
-(NNMapReduce.java:88-91 maxNeighbors).  No Python UDF anywhere, so the hot
-path never leaves the JVM.
+1. **census** — one cheap count-per-cell aggregation sizes the
+   *supercell* (a block of S×S distance-cells targeted at
+   ~TARGET_GROUP candidates) and finds pathologically hot supercells
+   (the stats-driven analog of the reference's SplitsProvider).
+2. **halo duplication** — each candidate lands in its supercell plus any
+   adjacent supercell whose border lies within ``max_distance`` (≤4
+   copies at corners, ~1+ε on average).  Each QUERY lands in exactly one
+   supercell, whose candidate set then provably contains every point
+   within ``max_distance`` — so the group-local top-k is the global
+   top-k: ONE shuffle, no pair materialization, no global window.
+3. **dense-group chunk split** — hot supercells split their queries into
+   hash chunks with candidates replicated per chunk (salt-style skew
+   handling, north rule): per-task work stays bounded no matter how hot
+   one cluster is, and chunks partition queries so outputs still need no
+   merge.
+4. **fine-grid search** — per group, an expanding-ring search over a
+   fine uniform grid (numpy, Arrow-batched) finds each query's k nearest
+   in ~O(k) candidate touches instead of the reference's O(n) pairwise
+   scan per partition.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+TARGET_GROUP = 30_000  # candidates per supercell the census aims for
+DENSE_CHUNK = 60_000   # queries per task above which a hot group splits
+
+
+def fine_grid_knn(
+    qx: np.ndarray,
+    qy: np.ndarray,
+    qid: np.ndarray,
+    cx: np.ndarray,
+    cy: np.ndarray,
+    cid: np.ndarray,
+    k: int,
+    r2: float,
+    exclude_self: bool,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """k nearest candidates per query via expanding-ring search on a fine
+    uniform grid over the candidate extent — ~O(nq·k) instead of the
+    quadratic all-pairs pass.  Exact: a query stops expanding only when
+    its current k-th distance is provably ≤ any unexamined candidate's.
+
+    Returns (query_row_index, candidate_row_index, d2), each query keeping
+    at most k + (1 if exclude_self) rows (radius filter applied)."""
+    nq, nc = len(qx), len(cx)
+    keep_k = k + (1 if exclude_self else 0)
+    minx, maxx = float(cx.min()), float(cx.max())
+    miny, maxy = float(cy.min()), float(cy.max())
+
+    # fine cell size floored at cs/256: the ring loop is then bounded at
+    # ~258 levels no matter how tight the candidate extent is (a tiny
+    # cluster with far-away ring queries would otherwise need ~extent/fs
+    # levels to reach the grid — effectively an infinite loop)
+    fs_floor = max(np.sqrt(r2) / 256.0, 1e-12)
+
+    def build(g):
+        fsx = max((maxx - minx) / g, fs_floor)
+        fsy = max((maxy - miny) / g, fs_floor)
+        gx_ = max(int(np.ceil((maxx - minx) / fsx)), 1)
+        gy_ = max(int(np.ceil((maxy - miny) / fsy)), 1)
+        g = max(gx_, gy_)
+        fx = np.clip(((cx - minx) / fsx).astype(np.int64), 0, g - 1)
+        fy = np.clip(((cy - miny) / fsy).astype(np.int64), 0, g - 1)
+        key = fx * g + fy
+        order = np.argsort(key, kind="stable")
+        ukeys, first = np.unique(key[order], return_index=True)
+        starts = np.concatenate([first, [nc]])
+        return g, fsx, fsy, order, ukeys, starts
+
+    g0 = int(np.clip(np.sqrt(nc / 4.0), 1, 2048))
+    g, fsx, fsy, order, ukeys, starts = build(g0)
+    occ = np.diff(starts)
+    # clustered-in-one-bucket guard: refine once toward ~4/bucket occupancy
+    if occ.max() > 64 * 4 and g < 8192:
+        g2 = int(np.clip(g * np.sqrt(occ.max() / 4.0), g, 8192))
+        g, fsx, fsy, order, ukeys, starts = build(g2)
+    minfs = min(fsx, fsy)
+
+    qfx = np.floor((qx - minx) / fsx).astype(np.int64)
+    qfy = np.floor((qy - miny) / fsy).astype(np.int64)
+
+    best_d = np.full((nq, keep_k), np.inf)
+    best_i = np.full((nq, keep_k), -1, dtype=np.int64)
+    active = np.arange(nq)
+    max_level = int(np.ceil(np.sqrt(r2) / minfs)) + 2
+    for L in range(0, max_level + 1):
+        if not len(active):
+            break
+        if L == 0:
+            offs = np.zeros((1, 2), dtype=np.int64)
+        else:
+            side = np.arange(-L, L + 1, dtype=np.int64)
+            top = np.stack([side, np.full_like(side, -L)], axis=1)
+            bot = np.stack([side, np.full_like(side, L)], axis=1)
+            mid = side[1:-1]
+            lef = np.stack([np.full_like(mid, -L), mid], axis=1)
+            rig = np.stack([np.full_like(mid, L), mid], axis=1)
+            offs = np.concatenate([top, bot, lef, rig])
+        # all (active query × ring offset) cells in one vectorized probe
+        tfx = qfx[active][:, None] + offs[None, :, 0]
+        tfy = qfy[active][:, None] + offs[None, :, 1]
+        valid = (tfx >= 0) & (tfx < g) & (tfy >= 0) & (tfy < g)
+        va = np.broadcast_to(active[:, None], tfx.shape)[valid]
+        tkey = tfx[valid] * g + tfy[valid]
+        got_q = False
+        if len(tkey):
+            pos = np.searchsorted(ukeys, tkey)
+            pos_c = np.minimum(pos, len(ukeys) - 1)
+            hit = ukeys[pos_c] == tkey
+            if hit.any():
+                rows = va[hit]
+                b = starts[pos_c[hit]]
+                e = starts[pos_c[hit] + 1]
+                cnt = e - b
+                qrep = np.repeat(rows, cnt)
+                st2 = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+                off = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(st2, cnt)
+                cidx = order[np.repeat(b, cnt) + off]
+                got_q = True
+        if got_q:
+            d2 = (qx[qrep] - cx[cidx]) ** 2 + (qy[qrep] - cy[cidx]) ** 2
+            inr = d2 <= r2
+            qrep, cidx, d2 = qrep[inr], cidx[inr], d2[inr]
+        if got_q and len(qrep):
+            # keep each query's keep_k best of this level, then merge with
+            # its stored best
+            o = np.lexsort((d2, qrep))
+            qs_, ds_, cs_ = qrep[o], d2[o], cidx[o]
+            new_grp = np.concatenate(([True], qs_[1:] != qs_[:-1]))
+            grp_start = np.maximum.accumulate(np.where(new_grp, np.arange(len(qs_)), 0))
+            rank = np.arange(len(qs_)) - grp_start
+            m = rank < keep_k
+            qs_, ds_, cs_, rank = qs_[m], ds_[m], cs_[m], rank[m]
+            aff = np.unique(qs_)
+            width = 2 * keep_k
+            tmp_d = np.full((len(aff), width), np.inf)
+            tmp_i = np.full((len(aff), width), -1, dtype=np.int64)
+            tmp_d[:, :keep_k] = best_d[aff]
+            tmp_i[:, :keep_k] = best_i[aff]
+            qpos = np.searchsorted(aff, qs_)
+            tmp_d[qpos, keep_k + rank] = ds_
+            tmp_i[qpos, keep_k + rank] = cs_
+            sel = np.argsort(tmp_d, axis=1, kind="stable")[:, :keep_k]
+            best_d[aff] = np.take_along_axis(tmp_d, sel, axis=1)
+            best_i[aff] = np.take_along_axis(tmp_i, sel, axis=1)
+        # retire: any unexamined candidate sits in a cell at Chebyshev
+        # distance > L ⇒ point distance ≥ L*minfs (query inside its cell)
+        floor_next = (L * minfs) ** 2
+        kth = best_d[active, keep_k - 1]
+        done = (kth <= floor_next) | (floor_next > r2)
+        active = active[~done]
+
+    qrep = np.repeat(np.arange(nq), keep_k)
+    dflat = best_d.ravel()
+    iflat = best_i.ravel()
+    keep = (iflat >= 0) & (dflat <= r2)
+    if exclude_self:
+        keep &= qid[qrep] != cid[np.maximum(iflat, 0)]
+    return qrep[keep], iflat[keep], dflat[keep]
 
 
 def knn_join(
@@ -35,6 +189,7 @@ def knn_join(
     c_lat: str = "lat",
     include_distance: bool = False,
     exclude_self: bool = False,
+    dense_cell_threshold: int | None = None,
 ) -> DataFrame:
     """For each query point: its ≤k nearest candidates within max_distance.
 
@@ -43,54 +198,196 @@ def knn_join(
     """
     if max_distance <= 0:
         raise ValueError("max_distance must be positive")
-    cs = float(max_distance)  # cell size == ring guarantee radius
+    cs = float(max_distance)
+    r2 = cs * cs
+    spark = queries.sparkSession
+    chunk_limit = dense_cell_threshold or DENSE_CHUNK
 
     cand = candidates.select(
         F.col(candidate_id).alias("_cid"),
         F.col(c_lon).alias("_clon"),
         F.col(c_lat).alias("_clat"),
-        F.floor((F.col(c_lon) + F.lit(180.0)) / F.lit(cs)).alias("_cx"),
-        F.floor((F.col(c_lat) + F.lit(90.0)) / F.lit(cs)).alias("_cy"),
+    )
+    qry = queries.select(
+        F.col(query_id).alias("_qid"),
+        F.col(q_lon).alias("_qlon"),
+        F.col(q_lat).alias("_qlat"),
     )
 
-    spark = queries.sparkSession
-    ring = spark.createDataFrame(
-        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
-    )
-    qry = (
-        queries.select(
-            F.col(query_id).alias("_qid"),
-            F.col(q_lon).alias("_qlon"),
-            F.col(q_lat).alias("_qlat"),
+    # census: (a) total + distinct occupied distance-cells → supercell
+    # factor S targeting ~TARGET_GROUP candidates per group; (b) hot
+    # supercells (> chunk_limit candidates) → query-chunk split factors.
+    # Both aggregations return tiny results — no per-cell collect.
+    gx = F.floor((F.col("_clon") + F.lit(180.0)) / F.lit(cs))
+    gy = F.floor((F.col("_clat") + F.lit(90.0)) / F.lit(cs))
+    # probe occupied supercell counts at several factors in ONE pass and
+    # pick the smallest S giving ≤ ~8 groups/core — few enough that
+    # per-group overhead amortizes, small enough that chunking still
+    # bounds task size
+    factors = [1, 4, 16, 64, 256, 1024]
+    stats = cand.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.approx_count_distinct(
+                F.floor(gx / F.lit(s)) * F.lit(1 << 32) + F.floor(gy / F.lit(s))
+            ).alias(f"g{s}")
+            for s in factors
+        ],
+    ).collect()[0]
+    if not stats["n"]:
+        empty = qry.sparkSession.createDataFrame(
+            [], f"{query_id} {dict(qry.dtypes)['_qid']}, {candidate_id} {dict(cand.dtypes)['_cid']}, rank int, dist2 double"
         )
-        .crossJoin(F.broadcast(ring))
-        .select(
-            "_qid",
-            "_qlon",
-            "_qlat",
-            (F.floor((F.col("_qlon") + F.lit(180.0)) / F.lit(cs)) + F.col("dx")).alias("_cx"),
-            (F.floor((F.col("_qlat") + F.lit(90.0)) / F.lit(cs)) + F.col("dy")).alias("_cy"),
+        return empty if include_distance else empty.drop("dist2")
+    group_target = 8 * spark.sparkContext.defaultParallelism
+    S = factors[-1]
+    for s in factors:
+        if stats[f"g{s}"] <= group_target:
+            S = s
+            break
+    hot_rows = (
+        cand.groupBy(
+            F.floor((F.col("_clon") + F.lit(180.0)) / F.lit(cs * S)).alias("sx"),
+            F.floor((F.col("_clat") + F.lit(90.0)) / F.lit(cs * S)).alias("sy"),
         )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > chunk_limit)
+        .collect()
+    )
+    hot = {
+        (int(r["sx"]), int(r["sy"])): int(np.ceil(r["n"] / chunk_limit))
+        for r in hot_rows
+    }
+    hot_bc = spark.sparkContext.broadcast(hot)
+    span = cs * S  # supercell edge in degrees
+
+    q_schema = (
+        "_qid " + dict(qry.dtypes)["_qid"] + ", _qlon double, _qlat double, "
+        "_sx bigint, _sy bigint, _chunk bigint"
+    )
+    c_schema = (
+        "_cid " + dict(cand.dtypes)["_cid"] + ", _clon double, _clat double, "
+        "_sx bigint, _sy bigint, _chunk bigint"
     )
 
-    dx = F.col("_qlon") - F.col("_clon")
-    dy = F.col("_qlat") - F.col("_clat")
-    d2 = (dx * dx + dy * dy).alias("_d2")
-    joined = qry.join(cand, ["_cx", "_cy"]).select("_qid", "_cid", d2)
-    joined = joined.where(F.col("_d2") <= F.lit(cs * cs))
-    if exclude_self:
-        joined = joined.where(F.col("_qid") != F.col("_cid"))
+    def _q_assign(batches):
+        for pdf in batches:
+            x = pdf["_qlon"].to_numpy(np.float64)
+            y = pdf["_qlat"].to_numpy(np.float64)
+            sx = np.floor((x + 180.0) / span).astype(np.int64)
+            sy = np.floor((y + 90.0) / span).astype(np.int64)
+            m = np.array([hot_bc.value.get((a, b), 1) for a, b in zip(sx, sy)], dtype=np.int64)
+            h = pd.util.hash_array(pdf["_qid"].to_numpy()).astype(np.int64)
+            out = pd.DataFrame(
+                {
+                    "_qid": pdf["_qid"],
+                    "_qlon": x,
+                    "_qlat": y,
+                    "_sx": sx,
+                    "_sy": sy,
+                    "_chunk": np.abs(h) % np.maximum(m, 1),
+                }
+            )
+            yield out
 
-    w = Window.partitionBy("_qid").orderBy(F.col("_d2").asc(), F.col("_cid").asc())
+    def _c_halo(batches):
+        """Candidate → its supercell + any neighbor supercell within cs of
+        it (halo), then replicate per chunk of hot supercells."""
+        for pdf in batches:
+            x = pdf["_clon"].to_numpy(np.float64)
+            y = pdf["_clat"].to_numpy(np.float64)
+            cid_ = pdf["_cid"].to_numpy()
+            sx0 = np.floor((x + 180.0) / span).astype(np.int64)
+            sy0 = np.floor((y + 90.0) / span).astype(np.int64)
+            fx = (x + 180.0) - sx0 * span  # offset inside supercell
+            fy = (y + 90.0) - sy0 * span
+            # per-axis neighbor offsets: 0 always; -1/+1 when the point is
+            # within cs of that supercell border.  The 3×3 combinations
+            # give ≤4 distinct copies per point after dedupe.
+            ox = np.stack([np.zeros(len(x), dtype=np.int64),
+                           np.where(fx < cs, -1, 0),
+                           np.where(fx > span - cs, 1, 0)])
+            oy = np.stack([np.zeros(len(y), dtype=np.int64),
+                           np.where(fy < cs, -1, 0),
+                           np.where(fy > span - cs, 1, 0)])
+            rows_all, sx_all, sy_all = [], [], []
+            for ix in range(3):
+                for iy in range(3):
+                    idx = np.arange(len(x))
+                    rows_all.append(idx)
+                    sx_all.append(sx0 + ox[ix])
+                    sy_all.append(sy0 + oy[iy])
+            rows = np.concatenate(rows_all)
+            sxs = np.concatenate(sx_all)
+            sys_ = np.concatenate(sy_all)
+            # dedupe (row, sx, sy) — zero offsets collide with the base copy
+            pack = rows * (1 << 40) + (sxs - sx0[rows] + 1) * (1 << 20) + (sys_ - sy0[rows] + 1)
+            _, uniq = np.unique(pack, return_index=True)
+            rows, sxs, sys_ = rows[uniq], sxs[uniq], sys_[uniq]
+            m = np.array([hot_bc.value.get((a, b), 1) for a, b in zip(sxs, sys_)], dtype=np.int64)
+            rep = np.repeat(np.arange(len(rows)), m)
+            st = np.concatenate(([0], np.cumsum(m)[:-1]))
+            chunk = np.arange(int(m.sum()), dtype=np.int64) - np.repeat(st, m)
+            rr = rows[rep]
+            yield pd.DataFrame(
+                {
+                    "_cid": cid_[rr],
+                    "_clon": x[rr],
+                    "_clat": y[rr],
+                    "_sx": sxs[rep],
+                    "_sy": sys_[rep],
+                    "_chunk": chunk,
+                }
+            )
+
+    qh = qry.mapInPandas(_q_assign, q_schema)
+    ch = cand.mapInPandas(_c_halo, c_schema)
+
+    out_schema = (
+        f"{query_id} " + dict(qry.dtypes)["_qid"] + f", {candidate_id} "
+        + dict(cand.dtypes)["_cid"] + ", rank int, dist2 double"
+    )
+
+    def _group_knn(qdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(qdf) or not len(cdf):
+            return pd.DataFrame(
+                {query_id: [], candidate_id: [], "rank": pd.Series([], dtype="int32"),
+                 "dist2": pd.Series([], dtype="float64")}
+            )
+        qid = qdf["_qid"].to_numpy()
+        cid_ = cdf["_cid"].to_numpy()
+        qrow, crow, d2 = fine_grid_knn(
+            qdf["_qlon"].to_numpy(np.float64),
+            qdf["_qlat"].to_numpy(np.float64),
+            qid,
+            cdf["_clon"].to_numpy(np.float64),
+            cdf["_clat"].to_numpy(np.float64),
+            cid_,
+            k,
+            r2,
+            exclude_self,
+        )
+        # rank per query (fine_grid_knn output may hold k+1 rows pre
+        # self-exclusion; cap at k after ranking by (d2, cid))
+        o = np.lexsort((cid_[crow], d2, qrow))
+        qs_, cs_, ds_ = qrow[o], crow[o], d2[o]
+        new_grp = np.concatenate(([True], qs_[1:] != qs_[:-1]))
+        grp_start = np.maximum.accumulate(np.where(new_grp, np.arange(len(qs_)), 0))
+        rank = (np.arange(len(qs_)) - grp_start + 1).astype(np.int32)
+        m = rank <= k
+        return pd.DataFrame(
+            {
+                query_id: qid[qs_[m]],
+                candidate_id: cid_[cs_[m]],
+                "rank": rank[m],
+                "dist2": ds_[m],
+            }
+        )
+
     out = (
-        joined.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            F.col("_qid").alias(query_id),
-            F.col("_cid").alias(candidate_id),
-            "rank",
-            F.col("_d2").alias("dist2"),
-        )
+        qh.groupBy("_sx", "_sy", "_chunk")
+        .cogroup(ch.groupBy("_sx", "_sy", "_chunk"))
+        .applyInPandas(_group_knn, out_schema)
     )
     if not include_distance:
         out = out.drop("dist2")

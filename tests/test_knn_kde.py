@@ -42,6 +42,29 @@ def oracle_knn(pdf, k, max_dist, exclude_self=True):
     return out
 
 
+def test_knn_dense_cell_path_parity(spark, pts, pts_pdf):
+    """Force the hot-cell chunked plan (dense_cell_threshold below the
+    cluster occupancy) and assert row-identical output to the join plan /
+    brute oracle — the skew-split must not change results."""
+    got_rows = knn_join(
+        pts,
+        pts.select(pts.image_id.alias("cid"), "lon", "lat"),
+        k=3,
+        max_distance=0.2,
+        query_id="image_id",
+        candidate_id="cid",
+        exclude_self=True,
+        dense_cell_threshold=20,  # every cluster cell goes dense + chunked
+    ).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["image_id"], []).append((r["cid"], r["rank"]))
+    for qid in got:
+        got[qid].sort(key=lambda t: t[1])
+    want = {q: v for q, v in oracle_knn(pts_pdf, 3, 0.2).items() if v}
+    assert got == want
+
+
 @pytest.mark.parametrize("k,max_dist", [(1, 0.05), (5, 0.2)])
 def test_knn_parity(spark, pts, pts_pdf, k, max_dist):
     got_rows = knn_join(
