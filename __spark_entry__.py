@@ -18,6 +18,8 @@ import os
 import sys
 from collections.abc import Callable
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
@@ -348,6 +350,114 @@ def q_scalar_functions(spark, sf_dir):
     )
 
 
+XZ_QBOX = (-60.0, -30.0, 10.0, 25.0)
+
+
+def q_xz_range_query(spark, sf_dir):
+    """Extent query through the XZ-order index (XZOrderSFC.java /
+    XZHierarchicalIndexStrategy.java:46-107): encode each part rectangle
+    to its XZ code (pandas UDF), prune with the query box's code ranges
+    (coarse filter), then exact envelope intersection — output equals the
+    plain SQL intersection, which is the oracle."""
+
+    from geowave_spark.sfc import xz_encode, xz_query_ranges
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.expr(RCX) - F.expr(RW)).alias("x0"),
+        (F.expr(RCX) + F.expr(RW)).alias("x1"),
+        (F.expr(RCY) - F.expr(RH)).alias("y0"),
+        (F.expr(RCY) + F.expr(RH)).alias("y1"),
+    )
+
+    @F.pandas_udf("long")
+    def _xz(x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(
+            xz_encode(
+                (x0.to_numpy(np.float64) + 180.0) / 360.0,
+                (y0.to_numpy(np.float64) + 90.0) / 180.0,
+                (x1.to_numpy(np.float64) + 180.0) / 360.0,
+                (y1.to_numpy(np.float64) + 90.0) / 180.0,
+            )
+        )
+
+    qx0, qy0, qx1, qy1 = XZ_QBOX
+    ranges = xz_query_ranges(
+        (qx0 + 180.0) / 360.0,
+        (qy0 + 90.0) / 180.0,
+        (qx1 + 180.0) / 360.0,
+        (qy1 + 90.0) / 180.0,
+    )
+    coded = p.withColumn("xz", _xz("x0", "y0", "x1", "y1"))
+    coarse = F.lit(False)
+    for lo, hi in ranges:
+        coarse = coarse | F.col("xz").between(int(lo), int(hi))
+    return (
+        coded.where(coarse)
+        .where(
+            (F.col("x0") <= qx1)
+            & (F.col("x1") >= qx0)
+            & (F.col("y0") <= qy1)
+            & (F.col("y1") >= qy0)
+        )
+        .select("p_partkey")
+    )
+
+
+def _customer_pts_view(spark, sf_dir):
+    """Register `customer_pts` (id, segment, WKT geom) for GWQL queries —
+    the type-name → view mapping of the reference's adapter store."""
+    df = _customer_points(spark, sf_dir).withColumn(
+        "geom",
+        F.concat(
+            F.lit("POINT ("),
+            F.col("lon").cast("string"),
+            F.lit(" "),
+            F.col("lat").cast("string"),
+            F.lit(")"),
+        ),
+    )
+    df.createOrReplaceTempView("customer_pts")
+
+
+def q_gwql_select(spark, sf_dir):
+    """GWQL SELECT with BBOX + text predicate (GWQL.g4:75-105 surface)."""
+    from geowave_spark.gwql import run as gwql_run
+
+    _customer_pts_view(spark, sf_dir)
+    return gwql_run(
+        spark,
+        "SELECT c_custkey FROM customer_pts "
+        "WHERE BBOX(geom, -30, -20, 30, 20) AND strContains(c_mktsegment, 'BUILD')",
+    )
+
+
+def q_gwql_agg(spark, sf_dir):
+    """GWQL aggregate selectors: COUNT + BBOX envelope aggregate."""
+    from geowave_spark.gwql import run as gwql_run
+
+    _customer_pts_view(spark, sf_dir)
+    return gwql_run(
+        spark,
+        "SELECT COUNT(*) AS n, BBOX(geom) FROM customer_pts "
+        "WHERE strStartsWith(c_mktsegment, 'MACH')",
+    )
+
+
+def q_gwql_delete(spark, sf_dir):
+    """GWQL DELETE compiles to the surviving rows (copy-on-write)."""
+    from geowave_spark.gwql import run as gwql_run
+
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return gwql_run(
+        spark,
+        "DELETE FROM events WHERE ts BEFORE '2024-01-10T00:00:00'::date "
+        "OR strContains(event_type, 'click')",
+    ).select("event_id", "event_type", "value")
+
+
 def q_dedupe_rows(spark, sf_dir):
     """DedupeFilter analog on a plain table: one row per o_custkey
     (deterministic min orderkey)."""
@@ -534,6 +644,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_expression": q_filter_expression,
         "temporal_predicates": q_temporal_predicates,
         "scalar_functions": q_scalar_functions,
+        "xz_range_query": q_xz_range_query,
+        "gwql_select": q_gwql_select,
+        "gwql_agg": q_gwql_agg,
+        "gwql_delete": q_gwql_delete,
         "dedupe_rows": q_dedupe_rows,
         "dedup_exact_docs": q_dedup_exact_docs,
         "doc_fingerprint": q_doc_fingerprint,
@@ -708,6 +822,32 @@ SELECT l_orderkey,
        CAST(l_quantity AS VARCHAR) AS qty_text,
        CAST(floor(l_extendedprice / l_quantity * 10000) AS BIGINT) AS unit_price_e4
 FROM lineitem WHERE l_linenumber = 1
+""",
+        "xz_range_query": f"""
+SELECT p_partkey FROM (
+  SELECT p_partkey,
+         {RCX} - ({RW}) AS x0, {RCX} + ({RW}) AS x1,
+         {RCY} - ({RH}) AS y0, {RCY} + ({RH}) AS y1
+  FROM part)
+WHERE x0 <= {XZ_QBOX[2]!r} AND x1 >= {XZ_QBOX[0]!r}
+  AND y0 <= {XZ_QBOX[3]!r} AND y1 >= {XZ_QBOX[1]!r}
+""",
+        "gwql_select": f"""
+WITH c AS ({cust_pts})
+SELECT c_custkey FROM c
+WHERE lon BETWEEN -30 AND 30 AND lat BETWEEN -20 AND 20
+  AND c_mktsegment LIKE '%BUILD%'
+""",
+        "gwql_agg": f"""
+WITH c AS ({cust_pts})
+SELECT count(*) AS n,
+       min(lon) AS bbox_minx, min(lat) AS bbox_miny,
+       max(lon) AS bbox_maxx, max(lat) AS bbox_maxy
+FROM c WHERE c_mktsegment LIKE 'MACH%'
+""",
+        "gwql_delete": """
+SELECT event_id, event_type, value FROM events
+WHERE NOT (ts < TIMESTAMP '2024-01-10 00:00:00' OR event_type LIKE '%click%')
 """,
         "dedup_exact_docs": """
 SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents GROUP BY text

@@ -8,6 +8,7 @@ from .tiered import (
     JOIN_MAX_DUPLICATES,
     TieredStrategy,
 )
+from .xz import xz_encode, xz_query_ranges
 from .zorder import xy_to_zorder, zorder_to_xy
 
 __all__ = [
@@ -23,6 +24,8 @@ __all__ = [
     "truncate_to_tier",
     "xy_to_zorder",
     "zorder_to_xy",
+    "xz_encode",
+    "xz_query_ranges",
     "TieredStrategy",
     "DEFAULT_MAX_DUPLICATES",
     "JOIN_MAX_DUPLICATES",

@@ -231,3 +231,33 @@ class TestGeohash:
         g7 = geohash_encode(lon, lat, 7)
         g4 = geohash_encode(lon, lat, 4)
         assert all(a.startswith(b) for a, b in zip(g7, g4))
+
+
+class TestXZOrder:
+    """XZ-ordering for extents (XZOrderSFC.java semantics)."""
+
+    def test_superset_guarantee_and_selectivity(self):
+        from geowave_spark.sfc import xz_encode, xz_query_ranges
+
+        n = 5000
+        minx = rng.uniform(0, 0.95, n)
+        miny = rng.uniform(0, 0.95, n)
+        maxx = np.minimum(minx + rng.uniform(1e-6, 0.3, n) ** 2, 1.0)
+        maxy = np.minimum(miny + rng.uniform(1e-6, 0.3, n) ** 2, 1.0)
+        codes = xz_encode(minx, miny, maxx, maxy)
+        assert (codes >= 0).all()
+        q = (0.2, 0.55, 0.4, 0.8)
+        ranges = xz_query_ranges(*q)
+        inr = np.zeros(n, bool)
+        for lo, hi in ranges:
+            inr |= (codes >= lo) & (codes <= hi)
+        truth = ~((minx > q[2]) | (maxx < q[0]) | (miny > q[3]) | (maxy < q[1]))
+        assert not (truth & ~inr).any()  # never loses an intersecting extent
+        assert inr.sum() < n  # and actually prunes
+
+    def test_point_like_extents_get_deep_levels(self):
+        from geowave_spark.sfc import xz_encode
+
+        tiny = xz_encode(np.array([0.5]), np.array([0.5]), np.array([0.5 + 1e-9]), np.array([0.5 + 1e-9]))
+        huge = xz_encode(np.array([0.0]), np.array([0.0]), np.array([0.9]), np.array([0.9]))
+        assert tiny[0] > huge[0]  # deeper prefix ⇒ larger sequence code
