@@ -406,6 +406,17 @@ def q_xz_range_query(spark, sf_dir):
     )
 
 
+def q_kmeans_hulls(spark, sf_dir):
+    """MLlib KMeans + convex hull per cluster (KMeansRunner.java:201-211,
+    KMeansHullGenerator) — rows-only gate (iterative, not SQL-expressible)."""
+    from geowave_spark.operators.kmeans import cluster_hulls, kmeans_clusters
+
+    # small input: coalesce so MLlib's iterative jobs don't pay
+    # many-partition scheduling overhead per iteration
+    assigned = kmeans_clusters(_customer_points(spark, sf_dir).coalesce(4), k=8)
+    return cluster_hulls(assigned).select("cluster", "n_points")
+
+
 def _customer_pts_view(spark, sf_dir):
     """Register `customer_pts` (id, segment, WKT geom) for GWQL queries —
     the type-name → view mapping of the reference's adapter store."""
@@ -645,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_predicates": q_temporal_predicates,
         "scalar_functions": q_scalar_functions,
         "xz_range_query": q_xz_range_query,
+        "kmeans_hulls": q_kmeans_hulls,
         "gwql_select": q_gwql_select,
         "gwql_agg": q_gwql_agg,
         "gwql_delete": q_gwql_delete,

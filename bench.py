@@ -171,7 +171,9 @@ def main():
     )
     run(
         "skew_hot_cell_salted",
-        lambda: distance_join(hot_probe, hot_build, 0.01, "hid", "bid", salt=CPUS).count(),
+        # fixed salt factor: the job definition must not change between the
+        # N and 4N scaling runs
+        lambda: distance_join(hot_probe, hot_build, 0.01, "hid", "bid", salt=16).count(),
         rows_in=hot_n,
     )
     run(
