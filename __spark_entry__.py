@@ -220,6 +220,18 @@ def q_hilbert_bin_count(spark, sf_dir):
     )
 
 
+def q_s2_bin_count(spark, sf_dir):
+    """Canonical S2 cell binning (S2BinningHelper.java analog) — rows-only
+    gate (S2 ids are not SQL-expressible; numpy property tests in
+    tests/test_sfc.py::TestS2)."""
+    return binned_agg(
+        _customer_points(spark, sf_dir),
+        [F.count(F.lit(1)).alias("n")],
+        scheme="s2",
+        s2_level=6,
+    )
+
+
 # ---- generic engine operators over the TPC-H-ish tables
 
 
@@ -642,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_kde": q_spatial_kde,
         "geohash_bin_count": q_geohash_bin_count,
         "hilbert_bin_count": q_hilbert_bin_count,
+        "s2_bin_count": q_s2_bin_count,
         "agg_pricing_summary": q_agg_pricing_summary,
         "topk_orders": q_topk_orders,
         "window_top_order_per_cust": q_window_top_order_per_cust,

@@ -52,6 +52,21 @@ def point_cell_udf(strategy: TieredStrategy = DEFAULT_STRATEGY):
     return _cell
 
 
+def s2_cell_udf(level: int = 12):
+    """Pandas UDF: (lon, lat) → canonical S2 cell id at `level`
+    (S2BinningHelper.java analog; numpy S2 in sfc/s2.py)."""
+
+    @F.pandas_udf(LongType())
+    def _s2(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        from .sfc.s2 import s2_cell_id
+
+        return pd.Series(
+            s2_cell_id(lon.to_numpy(np.float64), lat.to_numpy(np.float64), level)
+        )
+
+    return _s2
+
+
 def geohash_udf(precision: int = 7):
     """Pandas UDF: (lon, lat) → geohash string (spatial binning)."""
 

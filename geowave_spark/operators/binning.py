@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..encode import geohash_udf, point_cell_udf
+from ..encode import geohash_udf, point_cell_udf, s2_cell_udf
 from ..sfc import TieredStrategy
 
 
@@ -44,6 +44,7 @@ def binned_agg(
     geohash_precision: int = 4,
     strategy: TieredStrategy | None = None,
     tier: int = 8,
+    s2_level: int = 8,
 ) -> DataFrame:
     """Group-by-spatial-bin aggregation (BinningAggregation analog)."""
     if scheme == "grid":
@@ -55,6 +56,9 @@ def binned_agg(
     if scheme == "hilbert":
         strat = strategy or TieredStrategy(max_bits=tier)
         cell = point_cell_udf(strat)(F.col(lon), F.col(lat)).alias("cell")
+        return df.groupBy(cell).agg(*aggs)
+    if scheme == "s2":
+        cell = s2_cell_udf(s2_level)(F.col(lon), F.col(lat)).alias("s2_cell")
         return df.groupBy(cell).agg(*aggs)
     raise ValueError(f"unknown scheme {scheme!r}")
 

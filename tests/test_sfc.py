@@ -261,3 +261,32 @@ class TestXZOrder:
         tiny = xz_encode(np.array([0.5]), np.array([0.5]), np.array([0.5 + 1e-9]), np.array([0.5 + 1e-9]))
         huge = xz_encode(np.array([0.0]), np.array([0.0]), np.array([0.9]), np.array([0.9]))
         assert tiny[0] > huge[0]  # deeper prefix ⇒ larger sequence code
+
+
+class TestS2:
+    """S2 cell ids (S2BinningHelper analog, sfc/s2.py)."""
+
+    def test_faces_hierarchy_structure(self):
+        from geowave_spark.sfc.s2 import s2_cell_id, s2_parent
+
+        lon = np.array([0.0, 90.0, 0.0, 180.0, -90.0, 0.0])
+        lat = np.array([0.0, 0.0, 89.99, 0.0, 0.0, -89.99])
+        faces = (s2_cell_id(lon, lat, 0).astype(np.uint64) >> np.uint64(61)).tolist()
+        assert faces == [0, 1, 2, 3, 4, 5]
+        ln = rng.uniform(-180, 180, 2000)
+        lt = rng.uniform(-89, 89, 2000)
+        leaf = s2_cell_id(ln, lt, 30)
+        for lvl in (4, 12, 25):
+            assert (s2_cell_id(ln, lt, lvl) == s2_parent(leaf, lvl)).all()
+        v = s2_cell_id(ln, lt, 12).astype(np.uint64)
+        lsb = np.uint64(1) << np.uint64(2 * (30 - 12))
+        assert ((v & (lsb - np.uint64(1))) == 0).all() and ((v & lsb) == lsb).all()
+
+    def test_locality(self):
+        from geowave_spark.sfc.s2 import s2_cell_id
+
+        ln = rng.uniform(-170, 170, 500)
+        lt = rng.uniform(-80, 80, 500)
+        a = s2_cell_id(ln, lt, 10)
+        b = s2_cell_id(ln + 1e-9, lt + 1e-9, 10)
+        assert (a == b).mean() > 0.99

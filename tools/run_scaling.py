@@ -29,25 +29,27 @@ def run_bench(cpus: int) -> dict:
     return json.loads(line)
 
 
+def _burn(_):
+    import time
+
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 1.5:
+        x += 1
+    return x
+
+
 def measure_cpu_ceiling(n_low: int, n_high: int) -> float:
     """Hardware scaling ceiling from pure-CPU burn at both process counts:
     all-core turbo is lower than few-core turbo, so even embarrassingly
     parallel work cannot reach efficiency 1.0 on this box.  The ceiling
     contextualizes the measured per-query efficiencies."""
     import multiprocessing as mp
-    import time
-
-    def burn(_):
-        t0 = time.time()
-        x = 0
-        while time.time() - t0 < 1.5:
-            x += 1
-        return x
 
     rates = {}
     for n in (n_low, n_high):
         with mp.Pool(n) as p:
-            r = p.map(burn, range(n))
+            r = p.map(_burn, range(n))
         rates[n] = sum(r)
     return (rates[n_high] / rates[n_low]) / (n_high / n_low)
 
