@@ -111,15 +111,19 @@ def main():
     extras: dict[str, float] = {}
 
     def run(name, fn, rows_in=None):
-        # run twice, report the steady-state (2nd) time: the first run pays
-        # one-time JVM JIT + python-worker-pool costs that a long-lived
-        # cluster amortizes; the cold time is kept in extras
+        # cold once (JVM JIT + python-worker-pool costs a long-lived
+        # cluster amortizes), then two warm runs reporting the MINIMUM —
+        # this VM shows large host-level noise between runs, and the min
+        # is the least-contaminated estimate of the steady state
         t0 = time.time()
         out = fn()
         cold = time.time() - t0
-        t0 = time.time()
-        out = fn()
-        el = time.time() - t0
+        warms = []
+        for _ in range(2):
+            t0 = time.time()
+            out = fn()
+            warms.append(time.time() - t0)
+        el = min(warms)
         timings[name] = round(el, 3)
         extras[f"{name}_cold_sec"] = round(cold, 3)
         if rows_in:

@@ -133,6 +133,47 @@ def tile_images(
     """
     strat = strategy or TieredStrategy()
 
+    ts = tile_size
+
+    def _tiles_of_image(px, minx, miny, res, t):
+        """All tier-t tiles of one image in ONE vectorized gather: the
+        intersecting cells form a contiguous grid, so their union is a
+        single pixel lattice — same nearest-neighbor math as
+        _resample_into_cell, byte-identical output per tile."""
+        span_x = strat.dim_x.range / (1 << t)
+        span_y = strat.dim_y.range / (1 << t)
+        gx, gy, cells = _cells_for_envelope(
+            strat,
+            t,
+            minx,
+            miny,
+            min(minx + px.shape[1] * res, strat.dim_x.max),
+            min(miny + px.shape[0] * res, strat.dim_y.max),
+        )
+        ax, ay = int(gx.min()), int(gy.min())
+        ncx = int(gx.max()) - ax + 1
+        ncy = int(gy.max()) - ay + 1
+        lat_x = strat.dim_x.min + ax * span_x + (np.arange(ncx * ts) + 0.5) * (span_x / ts)
+        lat_y = strat.dim_y.min + ay * span_y + (np.arange(ncy * ts) + 0.5) * (span_y / ts)
+        sx = np.floor((lat_x - minx) / res).astype(np.int64)
+        sy = np.floor((lat_y - miny) / res).astype(np.int64)
+        h, w, _ = px.shape
+        okx = (sx >= 0) & (sx < w)
+        oky = (sy >= 0) & (sy < h)
+        lattice = np.zeros((ncy * ts, ncx * ts, 3), dtype=np.uint8)
+        if okx.any() and oky.any():
+            sub = px[np.clip(sy, 0, h - 1)[:, None], np.clip(sx, 0, w - 1)[None, :]]
+            mask = oky[:, None] & okx[None, :]
+            lattice[mask] = sub[mask]
+        # (ncy*ts, ncx*ts, 3) -> per-cell tiles [iy, ix, ts, ts, 3]
+        tiles = lattice.reshape(ncy, ts, ncx, ts, 3).transpose(0, 2, 1, 3, 4)
+        # map each emitted (gx, gy) to its lattice slot; cells may be a
+        # clipped subset when the fan-out cap kicked in
+        out = []
+        for ix, iy, c in zip(gx.tolist(), gy.tolist(), cells.tolist()):
+            out.append((t, int(c), np.ascontiguousarray(tiles[iy - ay, ix - ax]).tobytes()))
+        return out
+
     def _tile(batches):
         for pdf in batches:
             out_rows = []
@@ -140,15 +181,11 @@ def tile_images(
                 px = decode_image(r.bytes, r.fmt)
                 res = float(r.res)
                 minx, miny = float(r.lon), float(r.lat)
-                maxx = min(minx + r.w * res, strat.dim_x.max)
-                maxy = min(miny + r.h * res, strat.dim_y.max)
                 t0 = pick_tier(res, tile_size, strat)
                 tiers = [t0] + [max(0, t0 - i) for i in range(1, pyramid_levels + 1)] if build_pyramid else [t0]
                 for t in dict.fromkeys(tiers):
-                    gx, gy, cells = _cells_for_envelope(strat, t, minx, miny, maxx, maxy)
-                    for ix, iy, c in zip(gx.tolist(), gy.tolist(), cells.tolist()):
-                        tile = _resample_into_cell(px, minx, miny, res, strat, t, ix, iy, tile_size)
-                        out_rows.append((r.image_id, r.caption, t, int(c), tile.tobytes()))
+                    for trip in _tiles_of_image(px, minx, miny, res, t):
+                        out_rows.append((r.image_id, r.caption) + trip)
             yield pd.DataFrame(out_rows, columns=[f.name for f in TILE_SCHEMA.fields])
 
     cols = ["image_id", "caption", "bytes", "fmt", "w", "h", "lon", "lat", "res"]
