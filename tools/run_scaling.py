@@ -115,9 +115,10 @@ def main():
         "```",
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    out_name = os.environ.get("SPARK_GRAFT_SCALE_OUT", "BASELINE.md")
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         f.write("\n".join(md) + "\n")
-    print("wrote BENCH/BASELINE.md; overall efficiency", round(overall_eff, 3))
+    print(f"wrote BENCH/{out_name}; overall efficiency", round(overall_eff, 3))
 
 
 if __name__ == "__main__":
