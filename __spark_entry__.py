@@ -418,6 +418,30 @@ def q_xz_range_query(spark, sf_dir):
     )
 
 
+def q_audio_features(spark, sf_dir):
+    """Multimodal binary-column plumbing (brief): per-clip audio features
+    over a deterministic synthetic PCM table — rows-only gate (binary
+    decode is not SQL-expressible); sized from sf_dir's scale."""
+    from geowave_spark.sources.multimodal import audio_features, audio_table
+
+    ensure_py_files(spark)  # synthetic source — no _t() call ships the pkg
+    n = 2000 if "0.1" in sf_dir else 500
+    return audio_features(audio_table(spark, n)).select(
+        "audio_id", F.round("duration_s", 6).alias("duration_s"), F.round("rms", 6).alias("rms")
+    )
+
+
+def q_video_frame_sample(spark, sf_dir):
+    """Frame sampling over video binary columns — rows-only gate."""
+    from geowave_spark.sources.multimodal import video_frame_sample, video_table
+
+    ensure_py_files(spark)
+    n = 1000 if "0.1" in sf_dir else 300
+    return video_frame_sample(video_table(spark, n), every_n=2).select(
+        "video_id", "frame_idx", F.round("mean_r", 4).alias("mean_r")
+    )
+
+
 def q_kmeans_hulls(spark, sf_dir):
     """MLlib KMeans + convex hull per cluster (KMeansRunner.java:201-211,
     KMeansHullGenerator) — rows-only gate (iterative, not SQL-expressible)."""
@@ -670,6 +694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_functions": q_scalar_functions,
         "xz_range_query": q_xz_range_query,
         "kmeans_hulls": q_kmeans_hulls,
+        "audio_features": q_audio_features,
+        "video_frame_sample": q_video_frame_sample,
         "gwql_select": q_gwql_select,
         "gwql_agg": q_gwql_agg,
         "gwql_delete": q_gwql_delete,

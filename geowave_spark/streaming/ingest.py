@@ -77,3 +77,53 @@ def ingest_to_table(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def dedup_stream(stream: DataFrame, id_col: str = "event_id", watermark: str = "30 seconds") -> DataFrame:
+    """Streaming DedupeFilter: drop repeat sightings of an identity within
+    the watermark horizon (the reference's DedupeFilter semantics lifted
+    onto Structured Streaming state)."""
+    return stream.withWatermark("ts", watermark).dropDuplicates([id_col])
+
+
+def stateful_cell_counts(
+    stream: DataFrame,
+    cell_deg: float = 15.0,
+    timeout_minutes: int = 10,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: cumulative
+    per-cell point counts maintained in explicit group state (the
+    streaming analog of the metrics table a batch write maintains).
+
+    Emits one row per cell per micro-batch with the running total —
+    unlike a windowed aggregation, the total never resets, and state
+    expires only after ``timeout_minutes`` of silence.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = stream.select(
+        F.floor((F.col("lon") + 180.0) / cell_deg).cast("long").alias("cx"),
+        F.floor((F.col("lat") + 90.0) / cell_deg).cast("long").alias("cy"),
+    )
+
+    def _update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        (total,) = state.get if state.exists else (0,)
+        total += n
+        state.update((total,))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame({"cx": [key[0]], "cy": [key[1]], "total": [total]})
+
+    return keyed.groupBy("cx", "cy").applyInPandasWithState(
+        _update,
+        outputStructType="cx long, cy long, total long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -134,3 +134,47 @@ class TestStreaming:
         # windowed agg compiles into a valid streaming plan
         win = windowed_cell_counts(synthetic_point_stream(spark))
         assert win.isStreaming
+
+
+class TestStatefulStreaming:
+    def test_dedup_stream_plan(self, spark):
+        from geowave_spark.streaming.ingest import dedup_stream, synthetic_point_stream
+
+        s = dedup_stream(synthetic_point_stream(spark), id_col="event_id")
+        assert s.isStreaming
+
+    def test_stateful_cell_counts_runs(self, spark, tmp_path):
+        import time
+
+        from geowave_spark.streaming.ingest import stateful_cell_counts, synthetic_point_stream
+
+        out = stateful_cell_counts(synthetic_point_stream(spark, rows_per_second=2000))
+        q = (
+            out.writeStream.format("memory")
+            .queryName("cellcounts")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 90
+            rows = []
+            while time.time() < deadline:
+                rows = spark.sql("SELECT * FROM cellcounts").collect()
+                if len(rows) >= 3 and any(r.total > 0 for r in rows):
+                    break
+                time.sleep(1)
+            assert rows and all(r.total > 0 for r in rows)
+            # cumulative: totals only grow across batches for the same cell
+            time.sleep(3)
+            later = {(r.cx, r.cy): r.total for r in spark.sql(
+                "SELECT cx, cy, max(total) AS total FROM cellcounts GROUP BY cx, cy").collect()}
+            first = {}
+            for r in rows:
+                first.setdefault((r.cx, r.cy), r.total)
+            grew = [later[k] >= v for k, v in first.items() if k in later]
+            assert grew and all(grew)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
