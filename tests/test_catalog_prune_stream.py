@@ -178,3 +178,16 @@ class TestStatefulStreaming:
         finally:
             q.stop()
             q.awaitTermination(30)
+
+
+class TestDeploy:
+    def test_pyfiles_zip_contents(self, tmp_path):
+        import zipfile
+
+        from geowave_spark.deploy import build_zip
+
+        z = build_zip(str(tmp_path / "pkg.zip"))
+        names = zipfile.ZipFile(z).namelist()
+        assert "geowave_spark/operators/join.py" in names
+        assert "geowave_spark/sfc/hilbert.py" in names
+        assert all(n.endswith(".py") for n in names)
