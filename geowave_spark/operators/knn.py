@@ -350,7 +350,17 @@ def knn_join(
         (int(r["sx"]), int(r["sy"])): int(np.ceil(r["n"] / chunk_limit))
         for r in hot_rows
     }
-    hot_bc = spark.sparkContext.broadcast(hot)
+    # broadcast as (sorted packed keys, factors) numpy arrays so executors
+    # look up chunk factors with searchsorted — no per-row Python dict.get
+    hk = np.array(
+        sorted((sx + (1 << 20)) * (1 << 21) + (sy + (1 << 20)) for sx, sy in hot),
+        dtype=np.int64,
+    )
+    hm = np.array(
+        [hot[k] for k in sorted(hot, key=lambda t: (t[0] + (1 << 20)) * (1 << 21) + (t[1] + (1 << 20)))],
+        dtype=np.int64,
+    )
+    hot_bc = spark.sparkContext.broadcast((hk, hm))
     span = cs * S  # supercell edge in degrees
 
     q_schema = (
@@ -362,14 +372,27 @@ def knn_join(
         "_sx bigint, _sy bigint, _chunk bigint"
     )
 
+    def _hot_m(sx, sy):
+        """Vectorized chunk-factor lookup: packed hot keys, searchsorted."""
+        hk, hm = hot_bc.value
+        if not len(hk):
+            return np.ones(len(sx), dtype=np.int64)
+        key = (sx + (1 << 20)) * (1 << 21) + (sy + (1 << 20))
+        pos = np.minimum(np.searchsorted(hk, key), len(hk) - 1)
+        return np.where(hk[pos] == key, hm[pos], 1)
+
     def _q_assign(batches):
         for pdf in batches:
             x = pdf["_qlon"].to_numpy(np.float64)
             y = pdf["_qlat"].to_numpy(np.float64)
             sx = np.floor((x + 180.0) / span).astype(np.int64)
             sy = np.floor((y + 90.0) / span).astype(np.int64)
-            m = np.array([hot_bc.value.get((a, b), 1) for a, b in zip(sx, sy)], dtype=np.int64)
-            h = pd.util.hash_array(pdf["_qid"].to_numpy()).astype(np.int64)
+            m = _hot_m(sx, sy)
+            if (m == 1).all():
+                chunk = np.zeros(len(x), dtype=np.int64)
+            else:
+                h = pd.util.hash_array(pdf["_qid"].to_numpy()).astype(np.int64)
+                chunk = np.abs(h) % np.maximum(m, 1)
             out = pd.DataFrame(
                 {
                     "_qid": pdf["_qid"],
@@ -377,7 +400,7 @@ def knn_join(
                     "_qlat": y,
                     "_sx": sx,
                     "_sy": sy,
-                    "_chunk": np.abs(h) % np.maximum(m, 1),
+                    "_chunk": chunk,
                 }
             )
             yield out
@@ -416,7 +439,7 @@ def knn_join(
             pack = rows * (1 << 40) + (sxs - sx0[rows] + 1) * (1 << 20) + (sys_ - sy0[rows] + 1)
             _, uniq = np.unique(pack, return_index=True)
             rows, sxs, sys_ = rows[uniq], sxs[uniq], sys_[uniq]
-            m = np.array([hot_bc.value.get((a, b), 1) for a, b in zip(sxs, sys_)], dtype=np.int64)
+            m = _hot_m(sxs, sys_)
             rep = np.repeat(np.arange(len(rows)), m)
             st = np.concatenate(([0], np.cumsum(m)[:-1]))
             chunk = np.arange(int(m.sum()), dtype=np.int64) - np.repeat(st, m)
