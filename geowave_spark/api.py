@@ -9,6 +9,8 @@ One call per reference entry point (SURVEY.md §3):
   (coarse cell-range prune + exact fine filter, BaseDataStore.query path).
 - :func:`register_sql` — GeomFunctionRegistry analog: after this,
   ``spark.sql`` accepts the ST predicate surface (GWQL ⊂ Spark SQL).
+- :func:`gwql` — DataStore.query(String) analog: run a GWQL statement
+  (translated to Spark SQL against the session's temp views).
 """
 
 from __future__ import annotations
@@ -16,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from .functions import register_all as register_sql  # noqa: F401  (re-export)
+from .gwql import run as gwql  # noqa: F401  (re-export)
 from .operators.join import distance_join, point_in_polygon_join, polygon_distance_join
 from .plans.prune import pruned_bbox_scan
 from .sfc import TieredStrategy
