@@ -47,15 +47,21 @@ from geowave_spark.operators.text import (
 
 # ---- deterministic spatial derivations (identical text in Spark & DuckDB)
 
-CLON = "-180.0 + ((c_custkey * 48271) % 360000) / 1000.0"
-CLAT = "-90.0 + ((c_custkey * 69621) % 180000) / 1000.0"
-SLON = "-180.0 + ((s_suppkey * 16807) % 360000) / 1000.0"
-SLAT = "-90.0 + ((s_suppkey * 65539) % 180000) / 1000.0"
+# The integer part is computed exactly, then every floating op is an IEEE
+# double op in BOTH engines (Spark parses bare x.y literals as decimal and
+# would otherwise carry decimal(28,6) columns; DuckDB computes doubles —
+# the round-1 spatial_bbox_agg hash mismatch).  CAST(int AS DOUBLE) is
+# exact, double/decimal-literal division and addition promote the literal
+# exactly, so both engines round identically at each step.
+CLON = "-180.0 + (CAST((c_custkey * 48271) % 360000 AS DOUBLE) / 1000.0)"
+CLAT = "-90.0 + (CAST((c_custkey * 69621) % 180000 AS DOUBLE) / 1000.0)"
+SLON = "-180.0 + (CAST((s_suppkey * 16807) % 360000 AS DOUBLE) / 1000.0)"
+SLAT = "-90.0 + (CAST((s_suppkey * 65539) % 180000 AS DOUBLE) / 1000.0)"
 # rectangle regions derived from part
-RCX = "-180.0 + ((p_partkey * 24693) % 360000) / 1000.0"
-RCY = "-90.0 + ((p_partkey * 48271) % 180000) / 1000.0"
-RW = "0.5 + (p_partkey % 37) / 10.0"
-RH = "0.25 + (p_partkey % 23) / 20.0"
+RCX = "-180.0 + (CAST((p_partkey * 24693) % 360000 AS DOUBLE) / 1000.0)"
+RCY = "-90.0 + (CAST((p_partkey * 48271) % 180000 AS DOUBLE) / 1000.0)"
+RW = "0.5 + (CAST(p_partkey % 37 AS DOUBLE) / 10.0)"
+RH = "0.25 + (CAST(p_partkey % 23 AS DOUBLE) / 20.0)"
 
 JOIN_RADIUS = 5.0
 KNN_K = 3
@@ -569,8 +575,8 @@ def q_ivf_topk(spark, sf_dir):
 TILE_N = 800  # images synthesized per run (deterministic)
 TILE_SIZE = 16
 # SQL-identical geometry derivation for the tile oracle (img_i = integer id)
-TLON = "-180.0 + ((img_i * 48271) % 360000) / 1000.0"
-TLAT = "-90.0 + ((img_i * 69621) % 180000) / 1000.0"
+TLON = "-180.0 + (CAST((img_i * 48271) % 360000 AS DOUBLE) / 1000.0)"
+TLAT = "-90.0 + (CAST((img_i * 69621) % 180000 AS DOUBLE) / 1000.0)"
 _RES_BY_MOD = [0.002, 0.004, 0.008, 0.016]
 
 

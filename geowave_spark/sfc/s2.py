@@ -17,10 +17,23 @@ import numpy as np
 MAX_LEVEL = 30
 
 # S2's per-face Hilbert traversal tables (public constants from the
-# reference implementation's lookup construction)
+# reference implementation's lookup construction).  _IJ_TO_POS is the
+# canonical kIJtoPos; _POS_TO_IJ is its per-orientation inverse
+# (kPosToIJ), used by the decode path and the round-trip regression test
+# (round 1 shipped kPosToIJ in the encode slot, which broke curve
+# continuity and external-id interop).
 _SWAP_MASK = 0x01
 _INVERT_MASK = 0x02
 _IJ_TO_POS = np.array(
+    [
+        [0, 1, 3, 2],
+        [0, 3, 1, 2],
+        [2, 3, 1, 0],
+        [2, 1, 3, 0],
+    ],
+    dtype=np.uint64,
+)
+_POS_TO_IJ = np.array(
     [
         [0, 1, 3, 2],
         [0, 2, 3, 1],
@@ -74,6 +87,32 @@ def _uv_to_st(u):
         return np.where(u >= 0, 0.5 * np.sqrt(1 + 3 * u), 1 - 0.5 * np.sqrt(1 - 3 * u))
 
 
+def _ij_to_pos(face: np.ndarray, i: np.ndarray, j: np.ndarray) -> np.ndarray:
+    """Leaf curve position via the 1-bit-at-a-time Hilbert state machine
+    (vectorized over rows, looped over the 30 levels)."""
+    bits = face & _SWAP_MASK  # initial orientation = face & 1
+    pos = np.zeros(len(face), dtype=np.uint64)
+    for k in range(MAX_LEVEL - 1, -1, -1):
+        ik = (i >> np.uint64(k)) & np.uint64(1)
+        jk = (j >> np.uint64(k)) & np.uint64(1)
+        ij = ik * np.uint64(2) + jk
+        p = _IJ_TO_POS[bits & np.uint64(3), ij]
+        pos = (pos << np.uint64(2)) | p
+        bits = bits ^ _POS_TO_ORIENTATION[p]
+    return pos
+
+
+def s2_from_face_ij(face: np.ndarray, i: np.ndarray, j: np.ndarray) -> np.ndarray:
+    """Leaf cell id from (face, leaf i, leaf j) — FromFaceIJ analog."""
+    face = np.asarray(face).astype(np.uint64)
+    i = np.asarray(i).astype(np.uint64)
+    j = np.asarray(j).astype(np.uint64)
+    pos = _ij_to_pos(face, i, j)
+    return (
+        (face << np.uint64(2 * MAX_LEVEL + 1)) | (pos << np.uint64(1)) | np.uint64(1)
+    ).astype(np.int64)
+
+
 def s2_cell_id(lon: np.ndarray, lat: np.ndarray, level: int = 12) -> np.ndarray:
     """Canonical 64-bit S2 cell ids at the given level (vectorized)."""
     if not 0 <= level <= MAX_LEVEL:
@@ -89,23 +128,44 @@ def s2_cell_id(lon: np.ndarray, lat: np.ndarray, level: int = 12) -> np.ndarray:
     j = np.minimum(
         (np.clip(_uv_to_st(v), 0, 1) * float(limit)).astype(np.uint64), limit - np.uint64(1)
     )
-    # Hilbert position via 1-bit-at-a-time state machine (vectorized over
-    # rows, looped over the 30 levels)
-    bits = face & _SWAP_MASK  # initial orientation = face & 1
-    pos = np.zeros(len(lon), dtype=np.uint64)
-    for k in range(MAX_LEVEL - 1, -1, -1):
-        ik = (i >> np.uint64(k)) & np.uint64(1)
-        jk = (j >> np.uint64(k)) & np.uint64(1)
-        ij = ik * np.uint64(2) + jk
-        p = _IJ_TO_POS[bits & np.uint64(3), ij]
-        pos = (pos << np.uint64(2)) | p
-        bits = bits ^ _POS_TO_ORIENTATION[p]
+    pos = _ij_to_pos(face, i, j)
     # full leaf id: face(3 bits) + 2*30 position bits + trailing 1
     cell = (face << np.uint64(2 * MAX_LEVEL + 1)) | (pos << np.uint64(1)) | np.uint64(1)
     if level < MAX_LEVEL:
         lsb = np.uint64(1) << np.uint64(2 * (MAX_LEVEL - level))
         cell = (cell & (~(lsb - np.uint64(1)))) | lsb
     return cell.astype(np.int64)
+
+
+def s2_cell_to_face_ij(cell: np.ndarray):
+    """Decode leaf cell ids back to (face, i, j) via the inverse table
+    (kPosToIJ) — the official library's ToFaceIJOrientation.  Encoding
+    with kIJtoPos and decoding with kPosToIJ round-trips only when each
+    table is the true inverse of the other, which is the regression this
+    pins (tests/test_sfc.py::TestS2::test_round_trip_ij)."""
+    cell = np.asarray(cell).astype(np.uint64)
+    face = cell >> np.uint64(2 * MAX_LEVEL + 1)
+    pos = (cell >> np.uint64(1)) & np.uint64((1 << (2 * MAX_LEVEL)) - 1)
+    bits = face & _SWAP_MASK
+    i = np.zeros(len(cell), dtype=np.uint64)
+    j = np.zeros(len(cell), dtype=np.uint64)
+    for k in range(MAX_LEVEL - 1, -1, -1):
+        p = (pos >> np.uint64(2 * k)) & np.uint64(3)
+        ij = _POS_TO_IJ[bits & np.uint64(3), p]
+        i = (i << np.uint64(1)) | (ij >> np.uint64(1))
+        j = (j << np.uint64(1)) | (ij & np.uint64(1))
+        bits = bits ^ _POS_TO_ORIENTATION[p]
+    return face.astype(np.int64), i.astype(np.int64), j.astype(np.int64)
+
+
+def s2_from_face_pos(face: np.ndarray, pos: np.ndarray, level: int) -> np.ndarray:
+    """Pack (face, curve position at ``level``) into a cell id."""
+    face = np.asarray(face).astype(np.uint64)
+    pos = np.asarray(pos).astype(np.uint64)
+    shift = np.uint64(2 * (MAX_LEVEL - level))
+    leaf_pos = pos << shift
+    cell = (face << np.uint64(2 * MAX_LEVEL + 1)) | (leaf_pos << np.uint64(1))
+    return (cell | (np.uint64(1) << shift)).astype(np.int64)
 
 
 def s2_parent(cell: np.ndarray, level: int) -> np.ndarray:

@@ -290,3 +290,46 @@ class TestS2:
         a = s2_cell_id(ln, lt, 10)
         b = s2_cell_id(ln + 1e-9, lt + 1e-9, 10)
         assert (a == b).mean() > 0.99
+
+    def test_round_trip_ij(self):
+        """Encode (kIJtoPos) and decode (kPosToIJ) round-trip exactly —
+        fails if either table is not the true inverse of the other (the
+        round-1 bug shipped kPosToIJ in the encode slot)."""
+        from geowave_spark.sfc.s2 import s2_cell_to_face_ij, s2_from_face_ij
+
+        r = np.random.default_rng(7)
+        face = r.integers(0, 6, 3000)
+        i = r.integers(0, 1 << 30, 3000)
+        j = r.integers(0, 1 << 30, 3000)
+        f2, i2, j2 = s2_cell_to_face_ij(s2_from_face_ij(face, i, j))
+        assert (f2 == face).all() and (i2 == i).all() and (j2 == j).all()
+
+    def test_curve_continuity(self):
+        """Consecutive curve positions are grid-adjacent cells on every
+        face (the defining Hilbert property; the wrong table jumped ~384
+        cells between neighbors)."""
+        from geowave_spark.sfc.s2 import s2_cell_to_face_ij, s2_from_face_pos
+
+        level = 7
+        n = 4**level
+        for face in range(6):
+            cells = s2_from_face_pos(
+                np.full(n, face), np.arange(n, dtype=np.uint64), level
+            )
+            _, i, j = s2_cell_to_face_ij(cells)
+            ci, cj = i >> (30 - level), j >> (30 - level)
+            step = np.abs(np.diff(ci)) + np.abs(np.diff(cj))
+            assert (step == 1).all()
+
+    def test_known_official_ids(self):
+        """Structural ids that match the official scheme bit-for-bit:
+        face cells are (2f+1)<<60 and the first leaf on face 0 is id 1."""
+        from geowave_spark.sfc.s2 import s2_cell_id, s2_from_face_ij
+
+        centers = [(0.0, 0.0), (90.0, 0.0), (0.0, 89.999999), (180.0, 0.0),
+                   (-90.0, 0.0), (0.0, -89.999999)]
+        for f, (ln, lt) in enumerate(centers):
+            got = s2_cell_id(np.array([ln]), np.array([lt]), 0).astype(np.uint64)[0]
+            assert got == np.uint64((2 * f + 1) << 60)
+        first_leaf = s2_from_face_ij(np.array([0]), np.array([0]), np.array([0]))
+        assert first_leaf[0] == 1
