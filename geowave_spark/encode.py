@@ -205,41 +205,39 @@ def with_polygon_cells(
     )
 
 
-def distinct_envelope_tiers(
+def distinct_polygon_tiers(
     df: DataFrame,
-    minx: Column,
-    miny: Column,
-    maxx: Column,
-    maxy: Column,
+    wkt_col: str,
     strategy: TieredStrategy = DEFAULT_STRATEGY,
     max_duplicates: int = 4,
+    buffer: float = 0.0,
 ) -> list[int]:
-    """Distinct build-side tiers from a light tier-only scan (no cell
-    explosion, no persist) — the analog of the reference's tier-byte
-    collectAsync (TieredSpatialJoin.java:174-191)."""
+    """Distinct insertion tiers of a polygon table from a light WKT scan
+    (no cell explosion, no persist) — the analog of the reference's
+    tier-byte collectAsync (TieredSpatialJoin.java:174-191).  Only tier
+    ints reach the driver."""
 
     @F.pandas_udf(ArrayType(IntegerType()))
-    def _tiers(mnx: pd.Series, mny: pd.Series, mxx: pd.Series, mxy: pd.Series) -> pd.Series:
+    def _tiers(wkt: pd.Series) -> pd.Series:
+        polys = [parse_wkt(w)[1] for w in wkt]
+        env = np.array([polygon_envelope(p) for p in polys], dtype=np.float64).reshape(
+            len(polys), 4
+        )
         t = strategy.envelope_tiers(
-            mnx.to_numpy(np.float64),
-            mny.to_numpy(np.float64),
-            mxx.to_numpy(np.float64),
-            mxy.to_numpy(np.float64),
+            env[:, 0] - buffer,
+            env[:, 1] - buffer,
+            env[:, 2] + buffer,
+            env[:, 3] + buffer,
             max_duplicates=max_duplicates,
         )
-        # envelope_tiers appends wrapped-part tiers at the tail; per-batch
-        # the distinct SET is all a tier-collect needs, so emit it on the
-        # first row and empty arrays elsewhere (cheap: ≤32 ints per batch)
         u = np.unique(t).astype(np.int32).tolist()
-        out = [[] for _ in range(len(mnx))]
+        out: list[list[int]] = [[] for _ in range(len(wkt))]
         if out:
             out[0] = u
         return pd.Series(out)
 
     rows = (
-        df.select(F.explode(_tiers(minx, miny, maxx, maxy)).alias("tier"))
-        .distinct()
-        .collect()
+        df.select(F.explode(_tiers(F.col(wkt_col))).alias("tier")).distinct().collect()
     )
     return sorted(int(r["tier"]) for r in rows)
 

@@ -39,15 +39,27 @@ from pyspark.sql.types import StructField, StructType
 
 from ..encode import (
     DEFAULT_STRATEGY,
+    cell_at_tier,
+    distinct_polygon_tiers,
     explode_envelope_cells,
+    explode_polygon_cells,
     point_cell_at_tier_udf,
+    point_cell_udf,
 )
 from ..geom import (
+    pad_rings,
     parse_wkt,
     points_in_polygons_batch,
     points_polygons_dist2_batch,
 )
 from ..sfc import DEFAULT_MAX_DUPLICATES, JOIN_MAX_DUPLICATES, TieredStrategy
+
+# Above this many polygon rows the build side no longer collects/broadcasts;
+# the join falls back to the reference's big-both-sides tiered shuffle shape
+# (cell-explode both sides + equi-join + exact post-filter + dedupe).  The
+# limit bounds driver memory: ~10^5 rings × ~100 vertices × 16 B ≈ 160 MB
+# padded, comfortably under a 1 GiB broadcast budget.
+POLYGON_BROADCAST_LIMIT = 100_000
 
 
 def _apply_salt(build: DataFrame, probe: DataFrame, salt: int) -> tuple[DataFrame, DataFrame]:
@@ -81,8 +93,15 @@ def distance_join(
     negative: bool = False,
     salt: int | None = None,
     broadcast_build: bool = False,
+    dedupe_pairs: bool = False,
 ) -> DataFrame:
     """Point×point within-distance join → distinct (left_id, right_id) pairs.
+
+    Precondition: ``left_id`` / ``right_id`` are unique keys of their
+    inputs — then output pairs are distinct with no dedupe stage (see the
+    single-meeting-cell argument below).  If either id can repeat, pass
+    ``dedupe_pairs=True`` to add the reference's identity dedupe
+    (DedupeFilter semantics) as a final ``dropDuplicates``.
 
     ``max_duplicates`` defaults to the reference's ingest-path 4 (2/dim,
     TieredSFCIndexStrategy.java:58) rather than its join-path 80
@@ -158,6 +177,8 @@ def distance_join(
         .where(dx * dx + dy * dy <= F.lit(r2))
         .select(F.col("_lid").alias(left_id), F.col("_rid").alias(right_id))
     )
+    if dedupe_pairs:
+        pairs = pairs.dropDuplicates([left_id, right_id])
     if negative:
         return (
             left.select(F.col(left_id))
@@ -239,6 +260,112 @@ def _local_grid_polygon_join(
     return src.mapInPandas(_gen, out_schema)
 
 
+def _pair_match_udf(radius: float | None):
+    """Pandas UDF: (lon, lat, wkt) → does the exact predicate hold?
+
+    Runs after the (tier, cell) equi-join of the shuffle plan.  Each Arrow
+    batch factorizes its WKT values, parses each distinct polygon once and
+    evaluates the whole batch in one vectorized pass — candidate pairs of
+    the same polygon cluster in a batch because the join key is its cell.
+    """
+    r2 = None if radius is None else radius * radius
+
+    @F.pandas_udf("boolean")
+    def _m(lon: pd.Series, lat: pd.Series, wkt: pd.Series) -> pd.Series:
+        px = lon.to_numpy(np.float64)
+        py = lat.to_numpy(np.float64)
+        codes, uniq = pd.factorize(wkt)
+        if not len(uniq):
+            return pd.Series(np.zeros(0, dtype=bool))
+        padded = pad_rings([parse_wkt(w)[1] for w in uniq])
+        if r2 is None:
+            m = points_in_polygons_batch(px, py, codes, padded)
+        else:
+            m = points_polygons_dist2_batch(px, py, codes, padded) <= r2
+        return pd.Series(m)
+
+    return _m
+
+
+def _shuffle_polygon_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    point_id: str,
+    polygon_id: str,
+    lon: str,
+    lat: str,
+    wkt: str,
+    radius: float | None,
+    strategy: TieredStrategy,
+    max_duplicates: int,
+) -> DataFrame:
+    """Big-both-sides point⋈polygon join — the reference's actual
+    TieredSpatialJoin dataflow (TieredSpatialJoin.java:76-551), with no
+    driver collect of geometry:
+
+    1. build side: flat ``mapInPandas`` explode of each (buffered) polygon
+       to its insertion cells with trimIndexIds pruning
+       (:func:`~geowave_spark.encode.explode_polygon_cells`) — geometry
+       stays on executors, carried as WKT through the one shuffle;
+    2. tier plan: the distinct build tiers come from a light tier-only scan
+       (:func:`~geowave_spark.encode.distinct_polygon_tiers` — only tier
+       ints reach the driver, the analog of the tier-byte collectAsync);
+    3. probe side: one top-tier point cell (Arrow UDF), then one row per
+       (point, build tier) via a broadcast cross join with the tiny tier
+       list — tier re-projection is a Catalyst bit shift
+       (:func:`~geowave_spark.encode.cell_at_tier`), the cheap analog of
+       reprojectToTier (TieredSpatialJoin.java:471-511);
+    4. shuffled hash equi-join on (tier, cell) + exact vectorized
+       post-filter (:func:`_pair_match_udf`) + dropDuplicates — the
+       reference's cogroup + nested-loop predicate + reduceByKey dedupe.
+
+    At 1000 executors this is one shuffle of |polygons|·dup + |points|·|tiers|
+    rows on a uniform key space (Hilbert cells), no single-node bottleneck.
+    """
+    buffer = radius or 0.0
+    build = explode_polygon_cells(
+        polygons.select(
+            F.col(polygon_id).alias("_gid"), F.col(wkt).alias("_gwkt")
+        ),
+        "_gwkt",
+        keep=["_gid", "_gwkt"],
+        strategy=strategy,
+        max_duplicates=max_duplicates,
+        buffer=buffer,
+    )
+    tiers = distinct_polygon_tiers(
+        polygons, wkt, strategy, max_duplicates=max_duplicates, buffer=buffer
+    )
+    spark = points.sparkSession
+    tiers_df = spark.createDataFrame([(int(t),) for t in tiers], "tier int")
+    probe = (
+        points.select(
+            F.col(point_id).alias("_pid"),
+            F.col(lon).alias("_plon"),
+            F.col(lat).alias("_plat"),
+        )
+        .withColumn("_top", point_cell_udf(strategy)(F.col("_plon"), F.col("_plat")))
+        .crossJoin(F.broadcast(tiers_df))
+        .withColumn("cell", cell_at_tier("_top", "tier", strategy.max_bits))
+        .drop("_top")
+    )
+    return (
+        probe.join(build.hint("shuffle_hash"), ["tier", "cell"])
+        .where(_pair_match_udf(radius)(F.col("_plon"), F.col("_plat"), F.col("_gwkt")))
+        .select(F.col("_pid").alias(point_id), F.col("_gid").alias(polygon_id))
+        .dropDuplicates([point_id, polygon_id])
+    )
+
+
+def _polygon_join_plan(polygons: DataFrame, plan: str, broadcast_limit: int) -> str:
+    """Resolve plan='auto' with a bounded count probe (scans at most
+    broadcast_limit+1 polygon rows; never the whole table)."""
+    if plan != "auto":
+        return plan
+    n = polygons.limit(broadcast_limit + 1).count()
+    return "broadcast" if n <= broadcast_limit else "shuffle"
+
+
 def point_in_polygon_join(
     points: DataFrame,
     polygons: DataFrame,
@@ -251,19 +378,32 @@ def point_in_polygon_join(
     max_duplicates: int = JOIN_MAX_DUPLICATES,
     negative: bool = False,
     salt: int | None = None,
+    plan: str = "auto",
+    broadcast_limit: int = POLYGON_BROADCAST_LIMIT,
 ) -> DataFrame:
     """Point-in-polygon join → distinct (point_id, polygon_id) pairs.
 
-    Executes as a broadcast cell-grid join (see
-    :func:`_local_grid_polygon_join`): the collected polygon set is indexed
-    and broadcast, the probe side streams through one Arrow map stage.
-    ``salt`` is accepted for API parity but unused — there is no shuffle to
-    salt in this plan (hot cells cost candidate lookups, which the
-    adaptive grid size bounds).
+    Plan selection (``plan='auto'``): up to ``broadcast_limit`` polygons
+    the join runs as a zero-shuffle broadcast cell-grid
+    (:func:`_local_grid_polygon_join`); above it — or with
+    ``plan='shuffle'`` — it falls back to the reference's big-both-sides
+    tiered shuffle join (:func:`_shuffle_polygon_join`), which never
+    collects geometry to the driver.  The probe is a bounded
+    ``limit(broadcast_limit+1).count()``, not a full count.
+    ``salt`` is accepted for API parity but unused — the broadcast plan
+    has no shuffle to salt, and the shuffle plan leans on AQE skew
+    splitting of the (tier, cell) exchange.
     """
-    pairs = _local_grid_polygon_join(
-        points, polygons, point_id, polygon_id, lon, lat, wkt, radius=None
-    )
+    how = _polygon_join_plan(polygons, plan, broadcast_limit)
+    if how == "shuffle":
+        pairs = _shuffle_polygon_join(
+            points, polygons, point_id, polygon_id, lon, lat, wkt,
+            radius=None, strategy=strategy, max_duplicates=max_duplicates,
+        )
+    else:
+        pairs = _local_grid_polygon_join(
+            points, polygons, point_id, polygon_id, lon, lat, wkt, radius=None
+        )
     if negative:
         return (
             points.select(F.col(point_id))
@@ -284,10 +424,20 @@ def polygon_distance_join(
     wkt: str = "wkt",
     strategy: TieredStrategy = DEFAULT_STRATEGY,
     max_duplicates: int = JOIN_MAX_DUPLICATES,
+    plan: str = "auto",
+    broadcast_limit: int = POLYGON_BROADCAST_LIMIT,
 ) -> DataFrame:
     """Point within `radius` of polygon → distinct pairs (GeomWithinDistance
     against extended geometries, the hail×tornado_tracks fixture shape).
-    Broadcast cell-grid plan — see :func:`_local_grid_polygon_join`."""
+    Broadcast cell-grid plan up to ``broadcast_limit`` polygons, tiered
+    shuffle join beyond it — same plan selection as
+    :func:`point_in_polygon_join`."""
+    how = _polygon_join_plan(polygons, plan, broadcast_limit)
+    if how == "shuffle":
+        return _shuffle_polygon_join(
+            points, polygons, point_id, polygon_id, lon, lat, wkt,
+            radius=radius, strategy=strategy, max_duplicates=max_duplicates,
+        )
     return _local_grid_polygon_join(
         points, polygons, point_id, polygon_id, lon, lat, wkt, radius=radius
     )

@@ -46,7 +46,12 @@ def convex_hull(points: np.ndarray) -> np.ndarray:
     def half(iterable):
         chain: list[np.ndarray] = []
         for p in iterable:
-            while len(chain) >= 2 and np.cross(chain[-1] - chain[-2], p - chain[-2]) <= 0:
+            # scalar 2-D cross product written out (np.cross on 2-D vectors
+            # is deprecated in NumPy 2.0)
+            while len(chain) >= 2 and (
+                (chain[-1][0] - chain[-2][0]) * (p[1] - chain[-2][1])
+                - (chain[-1][1] - chain[-2][1]) * (p[0] - chain[-2][0])
+            ) <= 0:
                 chain.pop()
             chain.append(p)
         return chain

@@ -63,6 +63,12 @@ def fine_grid_knn(
     keep_k = k + (1 if exclude_self else 0)
     minx, maxx = float(cx.min()), float(cx.max())
     miny, maxy = float(cy.min()), float(cy.max())
+    # per-candidate rank in cid order: the secondary tie-break key, so the
+    # ring-path merges honor the documented (d2, candidate_id) order on
+    # exactly-equidistant candidates (the mega-bucket path gets this from
+    # pre-sorting cand_idx by cid)
+    cid_rank = np.empty(nc, dtype=np.int64)
+    cid_rank[np.argsort(cid, kind="stable")] = np.arange(nc)
 
     # fine cell size floored at cs/256: the ring loop is then bounded at
     # ~258 levels no matter how tight the candidate extent is (a tiny
@@ -230,7 +236,7 @@ def fine_grid_knn(
                         qrep, cidx, d2 = qrep[inr], cidx[inr], d2[inr]
                         if not len(qrep):
                             continue
-                        o = np.lexsort((d2, qrep))
+                        o = np.lexsort((cid_rank[cidx], d2, qrep))
                         qs_, ds_, cs_ = qrep[o], d2[o], cidx[o]
                         new_grp = np.concatenate(([True], qs_[1:] != qs_[:-1]))
                         grp_start = np.maximum.accumulate(np.where(new_grp, np.arange(len(qs_)), 0))
@@ -246,7 +252,10 @@ def fine_grid_knn(
                         qpos = np.searchsorted(aff, qs_)
                         tmp_d[qpos, keep_k + rank] = ds_
                         tmp_i[qpos, keep_k + rank] = cs_
-                        sel = np.argsort(tmp_d, axis=1, kind="stable")[:, :keep_k]
+                        # per-row (d2, cid) order — empty slots (tmp_i == -1)
+                        # carry d2 == inf so their rank key is irrelevant
+                        tmp_r = np.where(tmp_i >= 0, cid_rank[np.maximum(tmp_i, 0)], nc)
+                        sel = np.lexsort((tmp_r, tmp_d), axis=1)[:, :keep_k]
                         best_d[aff] = np.take_along_axis(tmp_d, sel, axis=1)
                         best_i[aff] = np.take_along_axis(tmp_i, sel, axis=1)
             # retire: any unexamined candidate sits in a cell at Chebyshev

@@ -126,3 +126,84 @@ class TestPolygonJoins:
             d2 = points_polygon_dist2(pa["lon"].to_numpy(), pa["lat"].to_numpy(), poly)
             want |= {(pa["image_id"].iloc[i], row.region_id) for i in np.nonzero(d2 <= r * r)[0]}
         assert got == want
+
+
+class TestShufflePolygonJoin:
+    """Big-both-sides fallback (TieredSpatialJoin shape, no driver
+    geometry collect) — same row sets as the brute oracle and as the
+    broadcast plan."""
+
+    def test_pip_shuffle_parity_vs_bruteforce(self, spark, points, regions):
+        got = _pairs(
+            point_in_polygon_join(
+                points, regions, "image_id", "region_id", plan="shuffle"
+            ),
+            "image_id",
+            "region_id",
+        )
+        pa = points_pdf(N_POINTS)
+        want = set()
+        for _, row in regions_pdf(N_REGIONS).iterrows():
+            poly = parse_wkt(row.wkt)[1]
+            hit = points_in_polygon(pa["lon"].to_numpy(), pa["lat"].to_numpy(), poly)
+            want |= {(pa["image_id"].iloc[i], row.region_id) for i in np.nonzero(hit)[0]}
+        assert got == want
+
+    def test_polygon_distance_shuffle_parity(self, spark, points, regions):
+        r = 0.5
+        got = _pairs(
+            polygon_distance_join(
+                points, regions, r, "image_id", "region_id", plan="shuffle"
+            ),
+            "image_id",
+            "region_id",
+        )
+        want = _pairs(
+            polygon_distance_join(
+                points, regions, r, "image_id", "region_id", plan="broadcast"
+            ),
+            "image_id",
+            "region_id",
+        )
+        assert got == want
+        assert len(want) > 20
+
+    def test_auto_plan_picks_shuffle_above_limit(self, spark, points, regions):
+        """auto must switch to the shuffle plan past broadcast_limit and
+        produce the identical row set."""
+        got = _pairs(
+            point_in_polygon_join(
+                points, regions, "image_id", "region_id", broadcast_limit=10
+            ),
+            "image_id",
+            "region_id",
+        )
+        want = _pairs(
+            point_in_polygon_join(
+                points, regions, "image_id", "region_id", plan="broadcast"
+            ),
+            "image_id",
+            "region_id",
+        )
+        assert got == want
+
+    def test_big_polygon_fixture(self, spark):
+        """100k polygons (over POLYGON_BROADCAST_LIMIT would be the real
+        trigger; forced here) × 2k points: shuffle plan == broadcast plan,
+        with geometry never collected to the driver on the shuffle path."""
+        pts = spark.createDataFrame(points_pdf(2000, seed=11)).cache()
+        regs = spark.createDataFrame(regions_pdf(100_000, seed=13)).cache()
+        got = _pairs(
+            point_in_polygon_join(pts, regs, "image_id", "region_id", plan="shuffle"),
+            "image_id",
+            "region_id",
+        )
+        want = _pairs(
+            point_in_polygon_join(pts, regs, "image_id", "region_id", plan="broadcast"),
+            "image_id",
+            "region_id",
+        )
+        assert got == want
+        assert len(want) > 100
+        pts.unpersist()
+        regs.unpersist()

@@ -65,6 +65,41 @@ def test_knn_dense_cell_path_parity(spark, pts, pts_pdf):
     assert got == want
 
 
+def test_knn_coincident_tiebreak(spark):
+    """Exactly-equidistant candidates at the k boundary (coincident
+    points) select by (d2, candidate_id), independent of probe order —
+    pins the ring-path merge's secondary sort key."""
+    import pandas as pd
+
+    locs = [(float(i), float(i % 5)) for i in range(10)]
+    q = pd.DataFrame(
+        {
+            "qid": [f"q{i}" for i in range(10)],
+            "lon": [x for x, _ in locs],
+            "lat": [y for _, y in locs],
+        }
+    )
+    r = np.random.default_rng(3)
+    rows = []
+    for i, (x, y) in enumerate(locs):
+        for j in r.permutation(8):  # insertion order != id order
+            rows.append((f"c{i}_{j}", x, y))
+    c = pd.DataFrame(rows, columns=["cid", "lon", "lat"])
+    got_rows = knn_join(
+        spark.createDataFrame(q),
+        spark.createDataFrame(c),
+        k=3,
+        max_distance=0.5,
+        query_id="qid",
+        candidate_id="cid",
+    ).collect()
+    got = {}
+    for rr in got_rows:
+        got.setdefault(rr["qid"], []).append((rr["rank"], rr["cid"]))
+    for i in range(10):
+        assert sorted(got[f"q{i}"]) == [(rk + 1, f"c{i}_{rk}") for rk in range(3)]
+
+
 @pytest.mark.parametrize("k,max_dist", [(1, 0.05), (5, 0.2)])
 def test_knn_parity(spark, pts, pts_pdf, k, max_dist):
     got_rows = knn_join(
