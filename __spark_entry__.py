@@ -424,6 +424,31 @@ def q_xz_range_query(spark, sf_dir):
     )
 
 
+EV_LON = "-180.0 + (CAST((event_id * 48271) % 360000 AS DOUBLE) / 1000.0)"
+EV_LAT = "-90.0 + (CAST((event_id * 69621) % 180000 AS DOUBLE) / 1000.0)"
+ST_BBOX = (-60.0, -30.0, 40.0, 30.0)
+ST_T0, ST_T1 = "2024-01-08 00:00:00", "2024-01-22 00:00:00"
+
+
+def q_spatial_temporal_range_query(spark, sf_dir):
+    """"This bbox, this time window" through the 3-D spatial-temporal
+    index (SpatialTemporalDimensionalityTypeProvider.java:57 +
+    TemporalBinningStrategy year bins): encode (year, tier, cell) point
+    keys, prune with decomposed Morton ranges, exact-filter — output
+    equals the plain bbox+time SQL predicate, which is the oracle."""
+    from geowave_spark.encode import with_spatiotemporal_cells
+    from geowave_spark.plans.prune import pruned_spatiotemporal_scan
+    from geowave_spark.sfc import DEFAULT_ST_STRATEGY
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", F.expr(EV_LON).alias("lon"), F.expr(EV_LAT).alias("lat")
+    )
+    idx = with_spatiotemporal_cells(e)
+    return pruned_spatiotemporal_scan(
+        idx, DEFAULT_ST_STRATEGY, ST_BBOX, ST_T0, ST_T1
+    ).select("event_id")
+
+
 def q_audio_features(spark, sf_dir):
     """Multimodal binary-column plumbing (brief): per-clip audio features
     over a deterministic synthetic PCM table — rows-only gate (binary
@@ -682,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_range_query": q_spatial_range_query,
         "spatial_subsample": q_spatial_subsample,
         "spatial_kde": q_spatial_kde,
+        "spatial_temporal_range_query": q_spatial_temporal_range_query,
         "geohash_bin_count": q_geohash_bin_count,
         "hilbert_bin_count": q_hilbert_bin_count,
         "s2_bin_count": q_s2_bin_count,
@@ -802,6 +828,13 @@ WITH c AS ({cust_pts}), g AS (
 SELECT cx, cy, min(c_custkey) AS c_custkey FROM g GROUP BY cx, cy
 """,
         "spatial_kde": _kde_oracle_sql(),
+        "spatial_temporal_range_query": f"""
+SELECT event_id FROM (
+  SELECT event_id, ts, {EV_LON} AS lon, {EV_LAT} AS lat FROM events)
+WHERE lon >= {ST_BBOX[0]!r} AND lon <= {ST_BBOX[2]!r}
+  AND lat >= {ST_BBOX[1]!r} AND lat <= {ST_BBOX[3]!r}
+  AND ts >= TIMESTAMP '{ST_T0}' AND ts < TIMESTAMP '{ST_T1}'
+""",
         "agg_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

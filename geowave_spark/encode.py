@@ -205,6 +205,54 @@ def with_polygon_cells(
     )
 
 
+def st_point_cell_udf(strategy=None):
+    """Pandas UDF: (lon, lat, ts) → top-tier 3-D Morton cell of the
+    spatial-temporal index (year bin is Catalyst ``year(ts)``)."""
+    from .sfc.spatial_temporal import DEFAULT_ST_STRATEGY
+
+    strat = strategy or DEFAULT_ST_STRATEGY
+
+    @F.pandas_udf(LongType())
+    def _cell(lon: pd.Series, lat: pd.Series, ts: pd.Series) -> pd.Series:
+        ms = ts.to_numpy().astype("datetime64[ms]").astype(np.int64)
+        _, cell = strat.point_keys(
+            lon.to_numpy(np.float64), lat.to_numpy(np.float64), ms
+        )
+        return pd.Series(cell)
+
+    return _cell
+
+
+def with_spatiotemporal_cells(
+    df: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    ts: str = "ts",
+    strategy=None,
+) -> DataFrame:
+    """Add (year, tier, cell) spatial-temporal index columns for
+    point/instant rows (SpatialTemporalDimensionalityTypeProvider.java:57
+    analog; year bin per TemporalBinningStrategy YEAR periodicity).
+
+    ``year`` is computed by Catalyst's ``year(ts)``, which agrees with the
+    numpy year binning for session-naive timestamps; the Morton cell runs
+    as one Arrow UDF.  Write the result partitioned by (year, tier) with
+    cell min/max statistics and the coarse predicate of
+    :func:`~geowave_spark.plans.prune.st_cell_predicate` prunes both the
+    partition listing and row groups.
+    """
+    from .sfc.spatial_temporal import DEFAULT_ST_STRATEGY
+
+    strat = strategy or DEFAULT_ST_STRATEGY
+    return (
+        df.withColumn("year", F.year(F.col(ts)).cast("int"))
+        .withColumn("tier", F.lit(strat.max_bits))
+        .withColumn(
+            "cell", st_point_cell_udf(strat)(F.col(lon), F.col(lat), F.col(ts))
+        )
+    )
+
+
 def distinct_polygon_tiers(
     df: DataFrame,
     wkt_col: str,

@@ -3,6 +3,12 @@
 from .dimensions import LATITUDE, LATITUDE_SQUARE, LONGITUDE, Dimension, split_dateline, temporal_bin_year
 from .geohash import geohash_encode
 from .hilbert import hilbert_to_xy, truncate_to_tier, xy_to_hilbert
+from .spatial_temporal import (
+    DEFAULT_ST_STRATEGY,
+    SpatialTemporalStrategy,
+    morton_to_xyz,
+    xyz_to_morton,
+)
 from .tiered import (
     DEFAULT_MAX_DUPLICATES,
     JOIN_MAX_DUPLICATES,
@@ -27,6 +33,10 @@ __all__ = [
     "xz_encode",
     "xz_query_ranges",
     "TieredStrategy",
+    "SpatialTemporalStrategy",
+    "DEFAULT_ST_STRATEGY",
+    "xyz_to_morton",
+    "morton_to_xyz",
     "DEFAULT_MAX_DUPLICATES",
     "JOIN_MAX_DUPLICATES",
 ]

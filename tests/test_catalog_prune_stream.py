@@ -103,6 +103,86 @@ class TestPruning:
         assert "PushedFilters" in plan and "cell" in plan
 
 
+class TestSpatialTemporalPruning:
+    """Spatial-temporal gated query ("this bbox, this month") — the
+    reference's second default index (SpatialTemporalDimensionalityTypeProvider)."""
+
+    BBOX = (-60.0, -30.0, 40.0, 30.0)
+    T0, T1 = "2024-01-08 00:00:00", "2024-01-22 00:00:00"
+
+    @pytest.fixture(scope="class")
+    def ev(self, spark):
+        import pandas as pd
+
+        r = np.random.default_rng(21)
+        n = 3000
+        ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            r.integers(0, 30 * 86_400, n), unit="s"
+        )
+        pdf = pd.DataFrame(
+            {
+                "event_id": np.arange(n),
+                "ts": ts,
+                "lon": r.uniform(-180, 180, n),
+                "lat": r.uniform(-90, 90, n),
+            }
+        )
+        return spark.createDataFrame(pdf).cache()
+
+    def test_pruned_scan_equals_exact_filter(self, spark, ev):
+        from geowave_spark.encode import with_spatiotemporal_cells
+        from geowave_spark.plans.prune import pruned_spatiotemporal_scan
+        from geowave_spark.sfc import DEFAULT_ST_STRATEGY
+
+        idx = with_spatiotemporal_cells(ev)
+        got = {
+            r["event_id"]
+            for r in pruned_spatiotemporal_scan(
+                idx, DEFAULT_ST_STRATEGY, self.BBOX, self.T0, self.T1
+            ).collect()
+        }
+        want = {
+            r["event_id"]
+            for r in ev.where(
+                (F.col("lon") >= self.BBOX[0]) & (F.col("lon") <= self.BBOX[2])
+                & (F.col("lat") >= self.BBOX[1]) & (F.col("lat") <= self.BBOX[3])
+                & (F.col("ts") >= F.lit(self.T0)) & (F.col("ts") < F.lit(self.T1))
+            ).collect()
+        }
+        assert got == want and len(want) > 20
+
+    def test_loose_superset_and_pushdown(self, spark, ev, tmp_path):
+        from geowave_spark.encode import with_spatiotemporal_cells
+        from geowave_spark.plans.prune import (
+            pruned_spatiotemporal_scan,
+            st_cell_predicate,
+        )
+        from geowave_spark.sfc import DEFAULT_ST_STRATEGY
+
+        idx = with_spatiotemporal_cells(ev)
+        loose = {
+            r["event_id"]
+            for r in pruned_spatiotemporal_scan(
+                idx, DEFAULT_ST_STRATEGY, self.BBOX, self.T0, self.T1, loose=True
+            ).collect()
+        }
+        exact = {
+            r["event_id"]
+            for r in pruned_spatiotemporal_scan(
+                idx, DEFAULT_ST_STRATEGY, self.BBOX, self.T0, self.T1
+            ).collect()
+        }
+        assert exact <= loose
+        # coarse predicate reaches the parquet reader as pushed filters
+        p = str(tmp_path / "st_idx.parquet")
+        idx.write.parquet(p)
+        scan = spark.read.parquet(p).where(
+            st_cell_predicate(DEFAULT_ST_STRATEGY, self.BBOX, self.T0, self.T1)
+        )
+        plan = scan._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "cell" in plan
+
+
 class TestStreaming:
     def test_rate_stream_encode_and_window(self, spark, tmp_path):
         from geowave_spark.streaming.ingest import (

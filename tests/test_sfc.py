@@ -333,3 +333,122 @@ class TestS2:
             assert got == np.uint64((2 * f + 1) << 60)
         first_leaf = s2_from_face_ij(np.array([0]), np.array([0]), np.array([0]))
         assert first_leaf[0] == 1
+
+
+class TestSpatialTemporal:
+    """3-D spatial-temporal tiered index (sfc/spatial_temporal.py) —
+    mirrors TieredSFCIndexStrategyTest.java time-range expectations:
+    an instant point gets exactly one insertion id in one year bin; a
+    range crossing a year boundary gets ids in each overlapped bin."""
+
+    def test_morton_round_trip(self):
+        from geowave_spark.sfc import morton_to_xyz, xyz_to_morton
+
+        r = np.random.default_rng(3)
+        ix, iy, iz = (r.integers(0, 1 << 20, 5000).astype(np.uint64) for _ in range(3))
+        mx, my, mz = morton_to_xyz(xyz_to_morton(ix, iy, iz))
+        assert (mx == ix).all() and (my == iy).all() and (mz == iz).all()
+
+    def test_point_key_hierarchy(self):
+        from geowave_spark.sfc import SpatialTemporalStrategy, xyz_to_morton
+
+        s = SpatialTemporalStrategy()
+        r = np.random.default_rng(5)
+        lon = r.uniform(-180, 180, 1000)
+        lat = r.uniform(-90, 90, 1000)
+        ms = r.integers(1_500_000_000_000, 1_800_000_000_000, 1000)
+        _, cell = s.point_keys(lon, lat, ms)
+        for t in (4, 10, 17):
+            coarse = s.cell_at_tier(cell, t)
+            # recompute at tier t directly from bins
+            from geowave_spark.sfc.dimensions import temporal_bin_year
+
+            _, pos = temporal_bin_year(ms)
+            want = xyz_to_morton(
+                s.dim_x.to_bins(lon, t), s.dim_y.to_bins(lat, t), s.dim_t.to_bins(pos, t)
+            ).astype(np.int64)
+            assert (coarse == want).all()
+
+    def test_instant_point_single_id(self):
+        from geowave_spark.sfc import SpatialTemporalStrategy
+
+        s = SpatialTemporalStrategy()
+        lon = np.array([12.5, -77.0])
+        lat = np.array([41.9, 38.9])
+        ms = np.array(
+            [np.datetime64("2024-06-01T12:00:00").astype("datetime64[ms]").astype(np.int64),
+             np.datetime64("2023-02-03T00:00:00").astype("datetime64[ms]").astype(np.int64)]
+        )
+        row, year, tier, cell = s.envelope_insertion_ids(lon, lat, lon, lat, ms, ms)
+        assert len(row) == 2 and (tier == s.max_bits).all()
+        assert year.tolist() == [2024, 2023]
+        _, want = s.point_keys(lon, lat, ms)
+        assert (cell == want).all()
+
+    def test_year_boundary_splits_bins(self):
+        from geowave_spark.sfc import SpatialTemporalStrategy
+
+        s = SpatialTemporalStrategy()
+        t0 = np.array([np.datetime64("2023-11-15").astype("datetime64[ms]").astype(np.int64)])
+        t1 = np.array([np.datetime64("2025-02-01").astype("datetime64[ms]").astype(np.int64)])
+        lon = np.array([10.0])
+        lat = np.array([10.0])
+        row, year, tier, cell = s.envelope_insertion_ids(
+            lon, lat, lon + 0.001, lat + 0.001, t0, t1
+        )
+        assert set(year.tolist()) == {2023, 2024, 2025}
+        # the middle (full-year) bin spans the whole time dim → coarse tier
+        mid = year == 2024
+        assert tier[mid].max() < s.max_bits
+
+    def test_duplicates_bound(self):
+        from geowave_spark.sfc import SpatialTemporalStrategy
+
+        s = SpatialTemporalStrategy()
+        r = np.random.default_rng(9)
+        n = 300
+        minx = r.uniform(-170, 150, n)
+        miny = r.uniform(-80, 60, n)
+        w = 10 ** r.uniform(-3, 1, n)
+        t0 = r.integers(1_600_000_000_000, 1_700_000_000_000, n)
+        dt = (10.0 ** r.uniform(3, 9, n)).astype(np.int64)
+        row, year, tier, cell = s.envelope_insertion_ids(
+            minx, miny, minx + w, miny + w, t0, t0 + dt, max_duplicates=8
+        )
+        # ≤ 8 cells per (row, year) part
+        key = row * 10_000 + year
+        _, counts = np.unique(key, return_counts=True)
+        assert counts.max() <= 8
+
+    def test_decompose_superset_and_ranges_disjoint(self):
+        from geowave_spark.sfc import SpatialTemporalStrategy
+
+        s = SpatialTemporalStrategy()
+        r = np.random.default_rng(11)
+        lon = r.uniform(-180, 180, 4000)
+        lat = r.uniform(-90, 90, 4000)
+        ms = r.integers(
+            np.datetime64("2023-01-01").astype("datetime64[ms]").astype(np.int64),
+            np.datetime64("2025-01-01").astype("datetime64[ms]").astype(np.int64),
+            4000,
+        )
+        year, cell = s.point_keys(lon, lat, ms)
+        box = (-60.0, -30.0, 40.0, 30.0)
+        t0 = int(np.datetime64("2023-10-01").astype("datetime64[ms]").astype(np.int64))
+        t1 = int(np.datetime64("2024-03-15").astype("datetime64[ms]").astype(np.int64))
+        parts = s.decompose(*box, t0, t1, max_ranges=128)
+        assert {p[0] for p in parts} == {2023, 2024}
+        hit = np.zeros(len(lon), dtype=bool)
+        for y, t, ranges in parts:
+            d = 3 * (s.max_bits - t)
+            assert all(ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1))
+            m = year == y
+            for lo, hi in ranges:
+                hit |= m & (cell >= (lo << d)) & (cell <= (((hi + 1) << d) - 1))
+        inside = (
+            (lon >= box[0]) & (lon <= box[2]) & (lat >= box[1]) & (lat <= box[3])
+            & (ms >= t0) & (ms < t1)
+        )
+        assert hit[inside].all()
+        # pruning is selective: well under 10x the true fraction
+        assert hit.mean() < max(10 * inside.mean(), 0.05)
