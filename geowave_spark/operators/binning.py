@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..encode import geohash_udf, point_cell_udf, s2_cell_udf
+from ..encode import geohash_udf, h3_udf, point_cell_udf, s2_cell_udf
 from ..sfc import TieredStrategy
 
 
@@ -45,8 +45,13 @@ def binned_agg(
     strategy: TieredStrategy | None = None,
     tier: int = 8,
     s2_level: int = 8,
+    h3_res: int = 4,
 ) -> DataFrame:
-    """Group-by-spatial-bin aggregation (BinningAggregation analog)."""
+    """Group-by-spatial-bin aggregation (BinningAggregation analog).
+
+    Schemes mirror SpatialBinningType (H3 | S2 | GEOHASH) plus the
+    engine's grid/hilbert bins; all run as one hash aggregation with
+    map-side partials."""
     if scheme == "grid":
         cx, cy = grid_cell_cols(lon, lat, cell_deg)
         return df.groupBy(cx, cy).agg(*aggs)
@@ -59,6 +64,9 @@ def binned_agg(
         return df.groupBy(cell).agg(*aggs)
     if scheme == "s2":
         cell = s2_cell_udf(s2_level)(F.col(lon), F.col(lat)).alias("s2_cell")
+        return df.groupBy(cell).agg(*aggs)
+    if scheme == "h3":
+        cell = h3_udf(h3_res)(F.col(lon), F.col(lat)).alias("h3_cell")
         return df.groupBy(cell).agg(*aggs)
     raise ValueError(f"unknown scheme {scheme!r}")
 

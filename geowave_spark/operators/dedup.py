@@ -84,8 +84,10 @@ def minhash_lsh_dedup(
 
     shingle→minhash→band→bucket-join→exact-Jaccard verify.  Bucket join is
     an equi join on (band, band_hash); buckets larger than ``max_bucket``
-    are dropped with a count (logged via the `_bucket_overflow` column on
-    the side — silent truncation is not allowed at scale).
+    (degenerate content — boilerplate/empty docs — whose all-pairs cost is
+    quadratic) are dropped, and the drop is REPORTED: a warning carries
+    the dropped-bucket count and covered row count (silent truncation is
+    not allowed at scale).
     """
     rows_per_band = num_hashes // bands
     sig = df.select(
@@ -104,10 +106,23 @@ def minhash_lsh_dedup(
             )
         ).alias("band", "bucket"),
     )
-    # bound pathological buckets
+    # bound pathological buckets — and report what was dropped
     sizes = bands_df.groupBy("band", "bucket").count()
+    over = sizes.where(F.col("count") > max_bucket).cache()
+    stats = over.agg(
+        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("count"), F.lit(0)).alias("rows")
+    ).first()
+    if stats["n"]:
+        import warnings
+
+        warnings.warn(
+            f"minhash_lsh_dedup: dropped {stats['n']} over-limit bucket(s) "
+            f"covering {stats['rows']} band rows (max_bucket={max_bucket}); "
+            "pairs within them are not examined",
+            stacklevel=2,
+        )
     bands_df = bands_df.join(
-        F.broadcast(sizes.where(F.col("count") > max_bucket)).select("band", "bucket", F.lit(True).alias("_over")),
+        F.broadcast(over).select("band", "bucket", F.lit(True).alias("_over")),
         ["band", "bucket"],
         "left",
     ).where(F.col("_over").isNull()).drop("_over")

@@ -81,5 +81,67 @@ def kde(
         )
     )
     cells = smeared.groupBy("cx", "cy").agg(F.sum("_w").alias("weight"))
-    win = Window.orderBy(F.col("weight").asc(), F.col("cx").asc(), F.col("cy").asc())
-    return cells.withColumn("pct", F.percent_rank().over(win))
+    # ranking: a global Window.orderBy funnels every cell through ONE task
+    # (Spark's single-partition window).  Fine for coarse grids (cells ≤
+    # nx·ny ≤ 2^17), a scale bug for level-12+ pyramids — switch to the
+    # bucketed two-pass rank there.
+    if (level + 1) * 2 <= 17:
+        win = Window.orderBy(F.col("weight").asc(), F.col("cx").asc(), F.col("cy").asc())
+        return cells.withColumn("pct", F.percent_rank().over(win))
+    return distributed_percent_rank(cells)
+
+
+def distributed_percent_rank(cells: DataFrame, num_buckets: int | None = None) -> DataFrame:
+    """Exact global percent_rank over (weight, cx, cy) without a
+    single-partition window.
+
+    Two-pass plan (the scalable analog of KDERunner's RangePartitioner
+    sort + zipWithIndex, KDERunner.java:252-291):
+
+    1. split points from ``percentile_approx(weight)`` (distributed agg);
+       bucket = index of first bound with ``weight < bound`` — a function
+       of the weight alone, so equal weights always share a bucket and
+       cross-bucket order is strict (exactness does not depend on the
+       approximation, only balance does);
+    2. per-bucket counts → driver prefix-sum (``num_buckets`` ints) →
+       rank = bucket offset + row_number() over a PARTITIONED window.
+
+    pct = (rank − 1) / (n − 1), identical to ``percent_rank`` because the
+    (weight, cx, cy) key is unique per cell.
+    """
+    spark = cells.sparkSession
+    B = num_buckets or max(
+        1, min(64, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    )
+    cells = cells.persist()
+    bounds: list[float] = []
+    if B > 1:
+        got = cells.agg(
+            F.percentile_approx(
+                "weight", [i / B for i in range(1, B)], 10_000
+            ).alias("b")
+        ).first()["b"]
+        bounds = sorted(set(got or []))
+    bkt = F.lit(len(bounds))
+    for i in reversed(range(len(bounds))):
+        bkt = F.when(F.col("weight") < F.lit(bounds[i]), F.lit(i)).otherwise(bkt)
+    with_bkt = cells.withColumn("_bkt", bkt.cast("int"))
+    counts = {
+        r["_bkt"]: r["cnt"]
+        for r in with_bkt.groupBy("_bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    total = sum(counts.values())
+    offset_expr = F.lit(0)
+    acc = 0
+    for i in range(len(bounds) + 1):
+        offset_expr = F.when(F.col("_bkt") == i, F.lit(acc)).otherwise(offset_expr)
+        acc += counts.get(i, 0)
+    win = Window.partitionBy("_bkt").orderBy(
+        F.col("weight").asc(), F.col("cx").asc(), F.col("cy").asc()
+    )
+    denom = float(max(total - 1, 1))
+    return (
+        with_bkt.withColumn("_rank", F.row_number().over(win) + offset_expr)
+        .withColumn("pct", (F.col("_rank") - F.lit(1)) / F.lit(denom))
+        .drop("_bkt", "_rank")
+    )

@@ -8,7 +8,8 @@ Training-data-pipeline operators (driver brief):
   * default: broadcast the (small) query matrix and run a vectorized numpy
     matmul per Arrow batch of candidates — the 100 TB path (query side is
     a dim×Q float32 matrix in every executor; one pass over the corpus,
-    per-batch top-k partial then global window).
+    per-batch partial top-k — boundary ties included for exactness — then
+    a global window over the O(k·batches) survivors).
 - ``ivf_topk``: IVF-style ANN — corpus bucketed by nearest of C coarse
   centroids (k-means on a driver-side sample; deterministic seed); probes
   search only the ``nprobe`` nearest buckets.  Equi-join on bucket id, so
@@ -75,18 +76,31 @@ def brute_topk(
             ]
         )
 
+        # per-batch partial top-k: each batch emits only its own top
+        # keep_n rows per query (plus ALL boundary ties, so the global
+        # (−sim, id) order stays exact), so the exchange feeding the
+        # ranking window carries O(k·batches) rows per query, not O(N)
+        keep_n = k + (1 if exclude_self else 0)
+
         def _score(batches):
             ids, qmat = bc.value
+            ids_arr = np.asarray(ids)
             for pdf in batches:
                 nm = np.array(pdf["_nv"].tolist(), dtype=np.float64)
                 nm = nm / np.linalg.norm(nm, axis=1, keepdims=True)
                 sims = qmat @ nm.T  # (Q, B)
                 B = sims.shape[1]
+                if B > keep_n:
+                    kth = np.partition(sims, B - keep_n, axis=1)[:, B - keep_n]
+                    mask = sims >= kth[:, None]
+                else:
+                    mask = np.ones(sims.shape, dtype=bool)
+                qi, bi = np.nonzero(mask)
                 yield pd.DataFrame(
                     {
-                        "_qid": np.repeat(ids, B),
-                        "_nid": np.tile(pdf["_nid"].to_numpy(), len(ids)),
-                        "_sim": sims.ravel(),
+                        "_qid": ids_arr[qi],
+                        "_nid": pdf["_nid"].to_numpy()[bi],
+                        "_sim": sims[qi, bi],
                     }
                 )
 
@@ -110,10 +124,28 @@ def brute_topk(
     return out
 
 
-def train_centroids(corpus: DataFrame, num_centroids: int, vec: str = "embedding", sample: int = 10000, iters: int = 10, seed: int = 42) -> np.ndarray:
-    """Driver-side k-means (Lloyd) on a deterministic sample → (C, dim)."""
-    pdf = corpus.select(F.col(vec).cast("array<double>")).limit(sample).collect()
-    X = np.array([r[0] for r in pdf], dtype=np.float64)
+def train_centroids(
+    corpus: DataFrame,
+    num_centroids: int,
+    vec: str = "embedding",
+    sample: int = 10000,
+    iters: int = 10,
+    seed: int = 42,
+    order_col: str = "vec_id",
+) -> np.ndarray:
+    """Driver-side k-means (Lloyd) on a deterministic sample → (C, dim).
+
+    The sample is the ``sample`` lowest-``order_col`` rows — an ordered
+    limit compiles to TakeOrderedAndProject (per-partition top-n, no full
+    sort), so determinism costs no extra shuffle (a bare limit() would
+    depend on parquet split order)."""
+    pdf = (
+        corpus.select(F.col(order_col), F.col(vec).cast("array<double>"))
+        .orderBy(order_col)
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r[1] for r in pdf], dtype=np.float64)
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)
     cent = X[rng.choice(len(X), num_centroids, replace=False)]
@@ -140,7 +172,7 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF approximate top-k: bucket corpus by nearest centroid, probe the
     ``nprobe`` nearest buckets per query — equi-join on bucket id."""
-    cent = train_centroids(corpus, num_centroids, vec)
+    cent = train_centroids(corpus, num_centroids, vec, order_col=corpus_id)
     spark = queries.sparkSession
     bc = spark.sparkContext.broadcast(cent)
 
@@ -201,17 +233,14 @@ def cosine_neardup_pairs(
     def _bandsig(v: pd.Series) -> pd.Series:
         X = np.array(v.tolist(), dtype=np.float64)
         bits = (X @ bc.value.T > 0).astype(np.uint64)  # (N, P)
-        out = []
-        for row in bits:
-            sigs = []
-            for b in range(bands):
-                chunk = row[b * per_band : (b + 1) * per_band]
-                val = np.uint64(0)
-                for bit in chunk:
-                    val = (val << np.uint64(1)) | np.uint64(bit)
-                sigs.append(int((np.uint64(b) << np.uint64(56)) | val))
-            out.append(sigs)
-        return pd.Series(out)
+        # pack each band's bits with a weight dot product — vectorized
+        # across the batch (loop only over the few bands)
+        w = np.uint64(1) << np.arange(per_band - 1, -1, -1, dtype=np.uint64)
+        sigs = np.empty((len(X), bands), dtype=np.uint64)
+        for b in range(bands):
+            chunk = bits[:, b * per_band : (b + 1) * per_band]
+            sigs[:, b] = (chunk * w).sum(axis=1) | (np.uint64(b) << np.uint64(56))
+        return pd.Series(list(sigs.astype(np.int64)))
 
     sig = corpus.select(
         F.col(corpus_id).alias("_id"),

@@ -95,6 +95,21 @@ class TestDistanceJoin:
         want = oracle_distance(points_pdf(N_POINTS), points_pdf(400, seed=7), RADIUS)
         assert got == want
 
+    def test_auto_salted_join_same_rows(self, spark, points, points_b):
+        """Census-driven salting (hot cells only, per-cell factor) must
+        not change the row set; low cap forces real salting on the
+        clustered fixture."""
+        got = _pairs(
+            distance_join(
+                points, points_b, RADIUS, "image_id", "other_id",
+                salt="auto", salt_cap=20,
+            ),
+            "image_id",
+            "other_id",
+        )
+        want = oracle_distance(points_pdf(N_POINTS), points_pdf(400, seed=7), RADIUS)
+        assert got == want
+
 
 class TestPolygonJoins:
     def test_pip_parity(self, spark, points, regions):

@@ -144,6 +144,27 @@ def test_kde_parity(spark, pts, pts_pdf):
     assert rows[top] == 1.0
 
 
+def test_kde_distributed_percentile(spark):
+    """A level-12 grid routes through the bucketed two-pass rank: no
+    single-partition window exchange in the executed plan, and pct equals
+    the naive global percent_rank formula (exact, tie-heavy input)."""
+    import pandas as pd
+
+    r = np.random.default_rng(31)
+    pdf = pd.DataFrame(
+        {"lon": r.uniform(-170, 170, 400), "lat": r.uniform(-80, 80, 400)}
+    )
+    df = kde(spark.createDataFrame(pdf), level=12)
+    got = df.toPandas()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    n = len(got)
+    order = got.sort_values(["weight", "cx", "cy"]).index.to_numpy()
+    pct = np.empty(n)
+    pct[order] = np.arange(n) / max(n - 1, 1)
+    assert np.allclose(got["pct"].to_numpy(), pct, atol=1e-12)
+
+
 def test_binned_agg_grid(spark, pts, pts_pdf):
     got = {
         (r["cx"], r["cy"]): r["n"]

@@ -452,3 +452,66 @@ class TestSpatialTemporal:
         assert hit[inside].all()
         # pruning is selective: well under 10x the true fraction
         assert hit.mean() < max(10 * inside.mean(), 0.05)
+
+
+class TestHexBinning:
+    """Aperture-7 icosahedral hex binning (sfc/h3hex.py — the H3 scheme;
+    SpatialBinningTypeTest.java-style property tests)."""
+
+    def test_total_deterministic_function(self):
+        from geowave_spark.sfc import hex_cell_id
+
+        r = np.random.default_rng(17)
+        lon = np.concatenate([r.uniform(-180, 180, 3000), [0.0, 180.0, -180.0, 0.0, 0.0]])
+        lat = np.concatenate([r.uniform(-90, 90, 3000), [0.0, 0.0, 0.0, 90.0, -90.0]])
+        a = hex_cell_id(lon, lat, 5)
+        b = hex_cell_id(lon, lat, 5)
+        assert (a == b).all()  # deterministic
+        res, face, qi, ri = __import__("geowave_spark.sfc.h3hex", fromlist=["hex_cell_unpack"]).hex_cell_unpack(a)
+        assert (res == 5).all() and (face >= 0).all() and (face < 20).all()
+
+    def test_locality(self):
+        from geowave_spark.sfc import hex_cell_id
+
+        r = np.random.default_rng(19)
+        lon = r.uniform(-170, 170, 2000)
+        lat = r.uniform(-80, 80, 2000)
+        a = hex_cell_id(lon, lat, 6)
+        b = hex_cell_id(lon + 1e-9, lat + 1e-9, 6)
+        assert (a == b).mean() > 0.99
+
+    def test_aperture7_scaling(self):
+        """One resolution step multiplies distinct occupied cells by ~7
+        for dense uniform data (the aperture)."""
+        from geowave_spark.sfc import hex_cell_id
+
+        r = np.random.default_rng(23)
+        # dense sample on a face interior so boundary effects are small
+        lon = r.uniform(-30, 30, 200_000)
+        lat = r.uniform(-20, 20, 200_000)
+        n3 = len(np.unique(hex_cell_id(lon, lat, 3)))
+        n4 = len(np.unique(hex_cell_id(lon, lat, 4)))
+        ratio = n4 / n3
+        assert 5.0 < ratio < 9.0, ratio
+
+    def test_resolution_separates_neighbors(self):
+        """Nearby-but-distinct points share coarse bins and split at fine
+        resolutions."""
+        from geowave_spark.sfc import hex_cell_id
+
+        lon = np.array([10.0, 10.4])
+        lat = np.array([20.0, 20.3])
+        assert hex_cell_id(lon, lat, 1)[0] == hex_cell_id(lon, lat, 1)[1]
+        assert hex_cell_id(lon, lat, 8)[0] != hex_cell_id(lon, lat, 8)[1]
+
+    def test_cell_sizes_bounded(self):
+        """Occupied-cell counts at a resolution are within the expected
+        order of magnitude of the sphere-wide cell budget (~20·(area/size²)
+        cells): uniform global points at res 2 land in hundreds of cells."""
+        from geowave_spark.sfc import hex_cell_id
+
+        r = np.random.default_rng(29)
+        lon = r.uniform(-180, 180, 100_000)
+        lat = np.degrees(np.arcsin(r.uniform(-1, 1, 100_000)))  # uniform on sphere
+        n = len(np.unique(hex_cell_id(lon, lat, 2)))
+        assert 200 < n < 5000, n
