@@ -213,6 +213,9 @@ def q_spatial_kde(spark, sf_dir):
 
 
 def q_geohash_bin_count(spark, sf_dir):
+    """Geohash binning — value-exact gate: the oracle re-derives the
+    base-32 code with pure SQL bit interleaving (see
+    _geohash_oracle_sql)."""
     return binned_agg(
         _customer_points(spark, sf_dir),
         [F.count(F.lit(1)).alias("n")],
@@ -222,12 +225,81 @@ def q_geohash_bin_count(spark, sf_dir):
 
 
 def q_hilbert_bin_count(spark, sf_dir):
+    """Hilbert binning at tier 8 — value-exact gate: the oracle runs the
+    same 8-step Hilbert state machine as chained SQL CTEs (see
+    _hilbert_oracle_sql)."""
     return binned_agg(
         _customer_points(spark, sf_dir),
         [F.count(F.lit(1)).alias("n")],
         scheme="hilbert",
         tier=8,
     )
+
+
+GEOHASH_PRECISION = 3
+HILBERT_BIN_TIER = 8
+
+
+def _geohash_oracle_sql() -> str:
+    """Pure-SQL geohash (precision 3 = 15 bits: 8 lon + 7 lat, MSB-first
+    interleave starting with longitude, base-32 alphabet) — mirrors
+    sfc/geohash.py bit for bit."""
+    terms = []
+    for b in range(15):
+        if b % 2 == 0:
+            terms.append(f"(((ix >> {7 - b // 2}) & 1) << {14 - b})")
+        else:
+            terms.append(f"(((iy >> {6 - b // 2}) & 1) << {14 - b})")
+    code = " | ".join(terms)
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    chars = " || ".join(
+        f"substr('{alpha}', CAST(((code >> {5 * (2 - c)}) & 31) AS INT) + 1, 1)"
+        for c in range(3)
+    )
+    return f"""
+WITH c AS (SELECT {CLON} AS lon, {CLAT} AS lat FROM customer),
+g AS (
+  SELECT least(255, CAST(floor(least(1.0, greatest(0.0, (lon + 180.0) / 360.0)) * 256) AS BIGINT)) AS ix,
+         least(127, CAST(floor(least(1.0, greatest(0.0, (lat + 90.0) / 180.0)) * 128) AS BIGINT)) AS iy
+  FROM c),
+coded AS (SELECT {code} AS code FROM g)
+SELECT {chars} AS geohash, count(*) AS n FROM coded GROUP BY 1
+"""
+
+
+def _hilbert_oracle_sql(tier: int = HILBERT_BIN_TIER) -> str:
+    """Pure-SQL 2-D Hilbert index at ``tier`` bits: the xy→d iteration of
+    sfc/hilbert.py unrolled into chained CTEs (one per bit, MSB first).
+    Integer wraparound semantics match: numpy uint64 two's-complement
+    low bits == BIGINT arithmetic under &-masking."""
+    n = 1 << tier
+    steps = []
+    prev = "h0"
+    for k in range(tier - 1, -1, -1):
+        s = 1 << k
+        quad = (
+            f"(CASE WHEN (x & {s}) > 0 THEN (CASE WHEN (y & {s}) > 0 THEN 2 ELSE 3 END) "
+            f"ELSE (CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END) END)"
+        )
+        nxt = f"h{tier - k}"
+        steps.append(
+            f"{nxt} AS (SELECT "
+            f"CASE WHEN (y & {s}) = 0 THEN (CASE WHEN (x & {s}) > 0 THEN {s - 1} - y ELSE y END) ELSE x END AS x, "
+            f"CASE WHEN (y & {s}) = 0 THEN (CASE WHEN (x & {s}) > 0 THEN {s - 1} - x ELSE x END) ELSE y END AS y, "
+            f"d + {s * s} * {quad} AS d FROM {prev})"
+        )
+        prev = nxt
+    chain = ",\n".join(steps)
+    return f"""
+WITH c AS (SELECT {CLON} AS lon, {CLAT} AS lat FROM customer),
+h0 AS (
+  SELECT least({n - 1}, CAST(floor(least(1.0, greatest(0.0, (lon + 180.0) / 360.0)) * {n}) AS BIGINT)) AS x,
+         least({n - 1}, CAST(floor(least(1.0, greatest(0.0, (lat + 90.0) / 180.0)) * {n}) AS BIGINT)) AS y,
+         CAST(0 AS BIGINT) AS d
+  FROM c),
+{chain}
+SELECT d AS cell, count(*) AS n FROM {prev} GROUP BY d
+"""
 
 
 def q_h3_bin_count(spark, sf_dir):
@@ -243,14 +315,103 @@ def q_h3_bin_count(spark, sf_dir):
 
 
 def q_s2_bin_count(spark, sf_dir):
-    """Canonical S2 cell binning (S2BinningHelper.java analog) — rows-only
-    gate (S2 ids are not SQL-expressible; numpy property tests in
-    tests/test_sfc.py::TestS2)."""
+    """Canonical S2 cell binning (S2BinningHelper.java analog) —
+    value-exact gate: the oracle recomputes the full S2 pipeline (face
+    projection, quadratic ST, 30-level Hilbert state machine, level mask)
+    as generated SQL (see _s2_oracle_sql); structural property tests in
+    tests/test_sfc.py::TestS2."""
     return binned_agg(
         _customer_points(spark, sf_dir),
         [F.count(F.lit(1)).alias("n")],
         scheme="s2",
         s2_level=6,
+    )
+
+
+S2_BIN_LEVEL = 6
+_S2_IJ_TO_POS = [[0, 1, 3, 2], [0, 3, 1, 2], [2, 3, 1, 0], [2, 1, 3, 0]]
+
+
+def _s2_oracle_sql(level: int = S2_BIN_LEVEL) -> str:
+    """Pure-SQL S2 cell ids, bit-for-bit vs sfc/s2.py: lon/lat → cube
+    face (CASE cascade), gnomonic uv, quadratic ST, 2^30 leaf
+    quantization, then the kIJtoPos/kPosToOrientation Hilbert state
+    machine unrolled into 30 chained CTEs; packing runs in HUGEINT and
+    wraps to signed 64 exactly like numpy's uint64→int64 view.  The
+    level mask reproduces `(cell & ~(lsb-1)) | lsb` as
+    (q + 1 - q%2) * lsb on the quotient."""
+    L = 1 << 30
+    pre = f"""
+WITH c AS (SELECT {CLON} AS lon, {CLAT} AS lat FROM customer),
+xyz AS (
+  SELECT cos(radians(lon)) * cos(radians(lat)) AS px,
+         sin(radians(lon)) * cos(radians(lat)) AS py,
+         sin(radians(lat)) AS pz
+  FROM c),
+f0 AS (
+  SELECT px, py, pz,
+    CASE WHEN abs(px) >= abs(py) THEN (CASE WHEN abs(px) >= abs(pz) THEN 0 ELSE 2 END)
+         ELSE (CASE WHEN abs(py) >= abs(pz) THEN 1 ELSE 2 END) END AS f
+  FROM xyz),
+fc AS (
+  SELECT px, py, pz,
+    f + (CASE WHEN (CASE f WHEN 0 THEN px WHEN 1 THEN py ELSE pz END) < 0 THEN 3 ELSE 0 END) AS face
+  FROM f0),
+uv AS (
+  SELECT face,
+    CASE face WHEN 0 THEN py / px WHEN 1 THEN -px / py WHEN 2 THEN -px / pz
+              WHEN 3 THEN pz / px WHEN 4 THEN pz / py ELSE -py / pz END AS u,
+    CASE face WHEN 0 THEN pz / px WHEN 1 THEN pz / py WHEN 2 THEN -py / pz
+              WHEN 3 THEN py / px WHEN 4 THEN -px / py ELSE -px / pz END AS v
+  FROM fc),
+st AS (
+  SELECT face,
+    CASE WHEN u >= 0 THEN 0.5 * sqrt(1 + 3 * u) ELSE 1 - 0.5 * sqrt(1 - 3 * u) END AS s,
+    CASE WHEN v >= 0 THEN 0.5 * sqrt(1 + 3 * v) ELSE 1 - 0.5 * sqrt(1 - 3 * v) END AS t
+  FROM uv),
+ij AS (
+  SELECT face,
+    least({L - 1}, CAST(floor(least(1.0, greatest(0.0, s)) * {L}.0) AS BIGINT)) AS i,
+    least({L - 1}, CAST(floor(least(1.0, greatest(0.0, t)) * {L}.0) AS BIGINT)) AS j
+  FROM st),
+g0 AS (SELECT face, i, j, face & 1 AS bits, CAST(0 AS BIGINT) AS pos FROM ij)"""
+    steps = []
+    prev = "g0"
+    for n, k in enumerate(range(29, -1, -1), start=1):
+        p_case = (
+            f"CASE bits * 4 + (((i >> {k}) & 1) * 2 + ((j >> {k}) & 1)) "
+            + " ".join(
+                f"WHEN {b * 4 + ij} THEN {_S2_IJ_TO_POS[b][ij]}"
+                for b in range(4)
+                for ij in range(4)
+            )
+            + " END"
+        )
+        bits_next = (
+            f"CASE ({p_case}) WHEN 0 THEN (CASE bits WHEN 0 THEN 1 WHEN 1 THEN 0 WHEN 2 THEN 3 ELSE 2 END) "
+            f"WHEN 3 THEN (CASE bits WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 0 END) ELSE bits END"
+        )
+        nxt = f"g{n}"
+        steps.append(
+            f"{nxt} AS (SELECT face, i, j, {bits_next} AS bits, pos * 4 + ({p_case}) AS pos FROM {prev})"
+        )
+        prev = nxt
+    lsb = 1 << (2 * (30 - level))
+    return (
+        pre
+        + ",\n"
+        + ",\n".join(steps)
+        + f"""
+SELECT s2_cell, count(*) AS n FROM (
+  SELECT CAST(
+    CASE WHEN wrapped >= 9223372036854775808 THEN wrapped - 18446744073709551616 ELSE wrapped END
+    AS BIGINT) AS s2_cell
+  FROM (
+    SELECT (q + 1 - (q % 2)) * {lsb} AS wrapped FROM (
+      SELECT (CAST(face AS HUGEINT) * 2305843009213693952 + CAST(pos AS HUGEINT) * 2 + 1) // {lsb} AS q
+      FROM {prev})))
+GROUP BY s2_cell
+"""
     )
 
 
@@ -604,9 +765,14 @@ def q_cosine_neardup(spark, sf_dir):
 
 
 def q_ivf_topk(spark, sf_dir):
+    """IVF with exhaustive probing (nprobe == num_centroids): exercises
+    the full bucket/equi-join machinery while the output provably equals
+    exact top-k, so the brute-force SQL oracle gates it value-exact.  The
+    approximate regime (nprobe < C) is recall-tested in
+    tests/test_trainops.py."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10)
-    return ivf_topk(q, emb, k=5, num_centroids=8, nprobe=4, exclude_self=True).withColumnRenamed(
+    return ivf_topk(q, emb, k=5, num_centroids=8, nprobe=8, exclude_self=True).withColumnRenamed(
         "query_id", "vec_id"
     )
 
@@ -656,16 +822,46 @@ def q_tile_counts(spark, sf_dir):
 
 
 def q_tile_assignment(spark, sf_dir):
-    """Full (image_id, tier, cell) tile assignment — Hilbert cells, exact
-    oracle lives in tests/test_raster.py (rows-only here)."""
+    """Full per-image tile assignment as (image_id, tier, cx, cy) grid
+    coordinates — value-exact gate: the oracle enumerates each image's
+    covering cell rectangle in pure SQL (RasterDataAdapter.convertToIndex
+    cell rule).  The Hilbert encoding of (cx, cy) → cell is pinned
+    separately by the numpy oracle in tests/test_raster.py and the
+    hilbert_bin_count SQL state machine."""
     from geowave_spark.raster.tiling import tile_images
+    from geowave_spark.sfc.hilbert import hilbert_to_xy
+    from pyspark.sql.types import ArrayType, LongType
+    import numpy as np
 
     _t(spark, sf_dir, "region")
     tiles = tile_images(_tile_images_df(spark), tile_size=TILE_SIZE)
-    return tiles.select("image_id", "tier", "cell")
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _xy(cell: pd.Series, tier: pd.Series) -> pd.Series:
+        c = cell.to_numpy(np.int64)
+        t = tier.to_numpy(np.int64)
+        out = np.zeros((len(c), 2), dtype=np.int64)
+        for tv in np.unique(t):
+            m = t == tv
+            if tv > 0:
+                x, y = hilbert_to_xy(c[m].astype(np.uint64), int(tv))
+                out[m, 0] = x.astype(np.int64)
+                out[m, 1] = y.astype(np.int64)
+        return pd.Series(list(out))
+
+    return tiles.select(
+        "image_id", "tier", _xy("cell", "tier").alias("_xy")
+    ).select(
+        "image_id",
+        "tier",
+        F.element_at("_xy", 1).alias("cx"),
+        F.element_at("_xy", 2).alias("cy"),
+    )
 
 
-def _tile_counts_oracle_sql() -> str:
+def _tile_cells_cte() -> str:
+    """Shared CTE chain: per image, the (tier, [ax..bx]×[ay..by]) covering
+    cell rectangle from pure grid arithmetic (convertToIndex rule)."""
     tiers = _tile_tier_table()
     res_case = "CASE i % 4 " + " ".join(f"WHEN {m} THEN {r!r}" for m, r, _ in tiers) + " END"
     tier_case = "CASE i % 4 " + " ".join(f"WHEN {m} THEN {t}" for m, _, t in tiers) + " END"
@@ -690,15 +886,34 @@ WITH base AS (
          CAST(power(2.0, tier) AS BIGINT) AS n
   FROM base
 ), cells AS (
-  SELECT image_id,
+  SELECT image_id, tier,
          least(n - 1, CAST(floor((minx + 180.0) / 360.0 * n) AS BIGINT)) AS ax,
          least(n - 1, CAST(floor((maxx + 180.0) / 360.0 * n) AS BIGINT)) AS bx,
          least(n - 1, CAST(floor((miny + 90.0) / 180.0 * n) AS BIGINT)) AS ay,
          least(n - 1, CAST(floor((maxy + 90.0) / 180.0 * n) AS BIGINT)) AS by
   FROM env
+)"""
+
+
+def _tile_counts_oracle_sql() -> str:
+    return (
+        _tile_cells_cte()
+        + "\nSELECT image_id, (bx - ax + 1) * (by - ay + 1) AS n_tiles FROM cells\n"
+    )
+
+
+def _tile_assignment_oracle_sql() -> str:
+    """Every (image, tier, cx, cy) of the covering rectangle, enumerated
+    with lateral generate_series."""
+    return (
+        _tile_cells_cte()
+        + """
+, xs AS (
+  SELECT image_id, tier, ay, by, unnest(generate_series(ax, bx)) AS cx FROM cells
 )
-SELECT image_id, (bx - ax + 1) * (by - ay + 1) AS n_tiles FROM cells
+SELECT image_id, tier, cx, unnest(generate_series(ay, by)) AS cy FROM xs
 """
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -984,6 +1199,24 @@ WHERE rank <= 5
         "quality_scores": _quality_oracle_sql(),
         "language_id": _language_oracle_sql(),
         "tile_counts": _tile_counts_oracle_sql(),
+        "tile_assignment": _tile_assignment_oracle_sql(),
+        "geohash_bin_count": _geohash_oracle_sql(),
+        "hilbert_bin_count": _hilbert_oracle_sql(),
+        "s2_bin_count": _s2_oracle_sql(),
+        # exhaustive-probe IVF == exact top-k (same tie-break) — reuse the
+        # brute-force oracle shape
+        "ivf_topk": """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+d AS (
+  SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim
+  FROM q, embeddings c WHERE q.vec_id <> c.vec_id)
+SELECT vec_id, neighbor_id, rank FROM (
+  SELECT vec_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM d) t
+WHERE rank <= 5
+""",
     }
 
 
