@@ -359,113 +359,78 @@ def knn_join(
         (int(r["sx"]), int(r["sy"])): int(np.ceil(r["n"] / chunk_limit))
         for r in hot_rows
     }
-    # broadcast as (sorted packed keys, factors) numpy arrays so executors
-    # look up chunk factors with searchsorted — no per-row Python dict.get
-    hk = np.array(
-        sorted((sx + (1 << 20)) * (1 << 21) + (sy + (1 << 20)) for sx, sy in hot),
-        dtype=np.int64,
-    )
-    hm = np.array(
-        [hot[k] for k in sorted(hot, key=lambda t: (t[0] + (1 << 20)) * (1 << 21) + (t[1] + (1 << 20)))],
-        dtype=np.int64,
-    )
-    hot_bc = spark.sparkContext.broadcast((hk, hm))
     span = cs * S  # supercell edge in degrees
 
-    q_schema = (
-        "_qid " + dict(qry.dtypes)["_qid"] + ", _qlon double, _qlat double, "
-        "_sx bigint, _sy bigint, _chunk bigint"
+    # ---- assignment passes, pure Catalyst (no Python exchange) ----------
+    # Supercell ids are floor arithmetic; the candidate halo (neighbor
+    # supercells within cs of the point) is two exploded per-axis offset
+    # arrays (array_distinct keeps ≤2 values/axis, so ≤4 copies/point);
+    # hot-supercell chunk factors come from a broadcast hash join against
+    # the (tiny) hot list collected above.  Round 1 ran these as two
+    # mapInPandas passes — the arithmetic is identical, but keeping it in
+    # whole-stage codegen removes two Arrow Python exchanges from the
+    # slowest-scaling operator.
+    hot_df = (
+        spark.createDataFrame(
+            [(sx, sy, m) for (sx, sy), m in hot.items()], "_sx bigint, _sy bigint, _m int"
+        )
+        if hot
+        else None
     )
-    c_schema = (
-        "_cid " + dict(cand.dtypes)["_cid"] + ", _clon double, _clat double, "
-        "_sx bigint, _sy bigint, _chunk bigint"
+
+    qh = qry.withColumn(
+        "_sx", F.floor((F.col("_qlon") + F.lit(180.0)) / F.lit(span)).cast("bigint")
+    ).withColumn(
+        "_sy", F.floor((F.col("_qlat") + F.lit(90.0)) / F.lit(span)).cast("bigint")
     )
-
-    def _hot_m(sx, sy):
-        """Vectorized chunk-factor lookup: packed hot keys, searchsorted."""
-        hk, hm = hot_bc.value
-        if not len(hk):
-            return np.ones(len(sx), dtype=np.int64)
-        key = (sx + (1 << 20)) * (1 << 21) + (sy + (1 << 20))
-        pos = np.minimum(np.searchsorted(hk, key), len(hk) - 1)
-        return np.where(hk[pos] == key, hm[pos], 1)
-
-    def _q_assign(batches):
-        for pdf in batches:
-            x = pdf["_qlon"].to_numpy(np.float64)
-            y = pdf["_qlat"].to_numpy(np.float64)
-            sx = np.floor((x + 180.0) / span).astype(np.int64)
-            sy = np.floor((y + 90.0) / span).astype(np.int64)
-            m = _hot_m(sx, sy)
-            if (m == 1).all():
-                chunk = np.zeros(len(x), dtype=np.int64)
-            else:
-                h = pd.util.hash_array(pdf["_qid"].to_numpy()).astype(np.int64)
-                chunk = np.abs(h) % np.maximum(m, 1)
-            out = pd.DataFrame(
-                {
-                    "_qid": pdf["_qid"],
-                    "_qlon": x,
-                    "_qlat": y,
-                    "_sx": sx,
-                    "_sy": sy,
-                    "_chunk": chunk,
-                }
+    if hot_df is not None:
+        qh = (
+            qh.join(F.broadcast(hot_df), ["_sx", "_sy"], "left")
+            .withColumn(
+                "_chunk",
+                F.pmod(F.xxhash64("_qid"), F.coalesce(F.col("_m"), F.lit(1))).cast("bigint"),
             )
-            yield out
+            .drop("_m")
+        )
+    else:
+        qh = qh.withColumn("_chunk", F.lit(0).cast("bigint"))
 
-    def _c_halo(batches):
-        """Candidate → its supercell + any neighbor supercell within cs of
-        it (halo), then replicate per chunk of hot supercells."""
-        for pdf in batches:
-            x = pdf["_clon"].to_numpy(np.float64)
-            y = pdf["_clat"].to_numpy(np.float64)
-            cid_ = pdf["_cid"].to_numpy()
-            sx0 = np.floor((x + 180.0) / span).astype(np.int64)
-            sy0 = np.floor((y + 90.0) / span).astype(np.int64)
-            fx = (x + 180.0) - sx0 * span  # offset inside supercell
-            fy = (y + 90.0) - sy0 * span
-            # per-axis neighbor offsets: 0 always; -1/+1 when the point is
-            # within cs of that supercell border.  The 3×3 combinations
-            # give ≤4 distinct copies per point after dedupe.
-            ox = np.stack([np.zeros(len(x), dtype=np.int64),
-                           np.where(fx < cs, -1, 0),
-                           np.where(fx > span - cs, 1, 0)])
-            oy = np.stack([np.zeros(len(y), dtype=np.int64),
-                           np.where(fy < cs, -1, 0),
-                           np.where(fy > span - cs, 1, 0)])
-            rows_all, sx_all, sy_all = [], [], []
-            for ix in range(3):
-                for iy in range(3):
-                    idx = np.arange(len(x))
-                    rows_all.append(idx)
-                    sx_all.append(sx0 + ox[ix])
-                    sy_all.append(sy0 + oy[iy])
-            rows = np.concatenate(rows_all)
-            sxs = np.concatenate(sx_all)
-            sys_ = np.concatenate(sy_all)
-            # dedupe (row, sx, sy) — zero offsets collide with the base copy
-            pack = rows * (1 << 40) + (sxs - sx0[rows] + 1) * (1 << 20) + (sys_ - sy0[rows] + 1)
-            _, uniq = np.unique(pack, return_index=True)
-            rows, sxs, sys_ = rows[uniq], sxs[uniq], sys_[uniq]
-            m = _hot_m(sxs, sys_)
-            rep = np.repeat(np.arange(len(rows)), m)
-            st = np.concatenate(([0], np.cumsum(m)[:-1]))
-            chunk = np.arange(int(m.sum()), dtype=np.int64) - np.repeat(st, m)
-            rr = rows[rep]
-            yield pd.DataFrame(
-                {
-                    "_cid": cid_[rr],
-                    "_clon": x[rr],
-                    "_clat": y[rr],
-                    "_sx": sxs[rep],
-                    "_sy": sys_[rep],
-                    "_chunk": chunk,
-                }
+    def _axis_offsets(frac: F.Column, edge: float) -> F.Column:
+        return F.array_distinct(
+            F.array(
+                F.lit(0),
+                F.when(frac < F.lit(edge), F.lit(-1)).otherwise(F.lit(0)),
+                F.when(frac > F.lit(span - edge), F.lit(1)).otherwise(F.lit(0)),
             )
+        )
 
-    qh = qry.mapInPandas(_q_assign, q_schema)
-    ch = cand.mapInPandas(_c_halo, c_schema)
+    ch = (
+        cand.withColumn(
+            "_sx0", F.floor((F.col("_clon") + F.lit(180.0)) / F.lit(span)).cast("bigint")
+        )
+        .withColumn(
+            "_sy0", F.floor((F.col("_clat") + F.lit(90.0)) / F.lit(span)).cast("bigint")
+        )
+        .withColumn("_fx", F.col("_clon") + F.lit(180.0) - F.col("_sx0") * F.lit(span))
+        .withColumn("_fy", F.col("_clat") + F.lit(90.0) - F.col("_sy0") * F.lit(span))
+        .withColumn("_ox", F.explode(_axis_offsets(F.col("_fx"), cs)))
+        .withColumn("_oy", F.explode(_axis_offsets(F.col("_fy"), cs)))
+        .withColumn("_sx", (F.col("_sx0") + F.col("_ox")).cast("bigint"))
+        .withColumn("_sy", (F.col("_sy0") + F.col("_oy")).cast("bigint"))
+        .drop("_sx0", "_sy0", "_fx", "_fy", "_ox", "_oy")
+    )
+    if hot_df is not None:
+        ch = (
+            ch.join(F.broadcast(hot_df), ["_sx", "_sy"], "left")
+            .withColumn(
+                "_chunk0",
+                F.explode(F.sequence(F.lit(0), F.coalesce(F.col("_m"), F.lit(1)) - 1)),
+            )
+            .withColumn("_chunk", F.col("_chunk0").cast("bigint"))
+            .drop("_m", "_chunk0")
+        )
+    else:
+        ch = ch.withColumn("_chunk", F.lit(0).cast("bigint"))
 
     out_schema = (
         f"{query_id} " + dict(qry.dtypes)["_qid"] + f", {candidate_id} "
