@@ -145,25 +145,27 @@ def main():
     )
 
     # explicit skew handling: every probe row lands in ONE coarse index cell
-    # (radius 0.01 → build tier ≈ 12, cell ≈ 0.09°; the probe cluster spans
-    # ~1e-5°).  Unsalted, the single (tier, cell) key serializes the join on
-    # one reducer; salting splits it across `salt` reducers (north-rule demo).
+    # (radius 0.01 → join tier 14, cell edge ≈ 0.022°; the probe cluster
+    # spans 0.01° so it cannot straddle more than one boundary — the round-1
+    # fixture spanned 0.088° ≈ 16 cells and was never actually skewed).
+    # Unsalted, the single (cell) key serializes ~640M candidate pairs on
+    # one reducer; census-driven salting splits that key 16 ways.
     hot_n = 40000
     hot_probe = (
         spark.range(0, hot_n, 1, PARTS)
         .select(
             F.col("id").alias("hid"),
-            (F.lit(10.0) + (F.col("id") % 1000) * 8.8e-5).alias("lon"),
-            (F.lit(10.0) + ((F.col("id") * 7919) % 997) * 8.8e-5).alias("lat"),
+            (F.lit(10.0) + (F.col("id") % 500) * 2e-5).alias("lon"),
+            (F.lit(10.0) + ((F.col("id") * 7919) % 499) * 2e-5).alias("lat"),
         )
         .cache()
     )
     hot_build = (
-        spark.range(4000)
+        spark.range(16000)
         .select(
             F.col("id").alias("bid"),
-            (F.lit(10.044) + (F.col("id") % 400) * 1e-7).alias("lon"),
-            (F.lit(10.044) + (F.col("id") % 397) * 1e-7).alias("lat"),
+            (F.lit(10.005) + (F.col("id") % 400) * 1e-7).alias("lon"),
+            (F.lit(10.005) + (F.col("id") % 397) * 1e-7).alias("lat"),
         )
         .cache()
     )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from .cql import cql_filter, cql_query  # noqa: F401  (re-export)
 from .functions import register_all as register_sql  # noqa: F401  (re-export)
 from .gwql import run as gwql  # noqa: F401  (re-export)
+from .sql_join import run_spatial_sql  # noqa: F401  (re-export)
 from .operators.join import distance_join, point_in_polygon_join, polygon_distance_join
 from .plans.prune import pruned_bbox_scan
 from .sfc import TieredStrategy

@@ -115,6 +115,7 @@ def _apply_auto_salt(
             build.withColumn("_salt", F.lit(0)),
             probe.withColumn("_salt", F.lit(0)),
         )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     hot_df = F.broadcast(
         spark.createDataFrame([(r["cell"], r["_f"]) for r in hot_rows], "cell long, _f int")
     )
@@ -135,7 +136,16 @@ def _apply_auto_salt(
         )
         .drop("_f")
     )
-    return build_s, probe_s
+    # explicit numbered repartition on the salted key: AQE's partition
+    # coalescing targets shuffle BYTES, and a hot cell's shuffle input is
+    # tiny while its join work is quadratic — left to itself AQE folds
+    # the freshly-separated salt buckets back into one reducer.
+    # repartition(n, keys) (REPARTITION_BY_NUM) must be honored exactly,
+    # and the join reuses this distribution with no extra exchange.
+    return (
+        build_s.repartition(n_parts, "cell", "_salt"),
+        probe_s.repartition(n_parts, "cell", "_salt"),
+    )
 
 
 def distance_join(

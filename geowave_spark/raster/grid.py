@@ -1,0 +1,244 @@
+"""General raster tiles: arbitrary band count / sample type / nodata,
+pluggable merge strategies.
+
+The RGB-uint8 pipeline in ``tiling.py`` mirrors the image+caption brief;
+the reference's raster adapter is more general — any band count and
+sample type with a per-adapter nodata and a pluggable tile-merge
+strategy (RasterDataAdapter.java:245-253 arbitrary SampleModel;
+merge/NoDataMergeStrategy.java and the RasterTileMergeStrategy SPI;
+float rasters force nearest-neighbor resampling :702-727 so nodata
+never interpolates into data).  This module carries that generality:
+
+- :class:`RasterSpec` describes (bands, numpy dtype, nodata value);
+  tiles travel as raw bytes of shape (tile_size, tile_size, bands);
+- :func:`tile_rasters` assigns arbitrary-dtype rasters to index cells
+  (same lattice-gather as the RGB path; resampling is always nearest
+  neighbor, which is exactly the reference's forced mode for
+  float/double samples);
+- :func:`merge_raster_tiles` folds overlapping tiles per (tier, cell)
+  with a strategy from :data:`MERGE_STRATEGIES` — ``nodata`` (first
+  non-nodata sample wins, deterministic raster_id order — the
+  reference's NoDataMergeStrategy), ``last``, ``min``, ``max``, ``mean``
+  (running mean over non-nodata samples).  Strategies are an SPI: any
+  ``fn(acc, cur, acc_nodata_mask) -> acc`` registered in the dict.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..sfc.tiered import TieredStrategy
+from .tiling import _cells_for_envelope, pick_tier
+
+GRID_TILE_SCHEMA = StructType(
+    [
+        StructField("raster_id", StringType(), False),
+        StructField("tier", IntegerType(), False),
+        StructField("cell", LongType(), False),
+        StructField("tile", BinaryType(), False),
+    ]
+)
+
+GRID_MERGED_SCHEMA = StructType(
+    [
+        StructField("tier", IntegerType(), False),
+        StructField("cell", LongType(), False),
+        StructField("tile", BinaryType(), False),
+        StructField("n_sources", IntegerType(), False),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class RasterSpec:
+    """Band layout of a raster table: (bands, numpy dtype name, nodata)."""
+
+    bands: int = 1
+    dtype: str = "float32"
+    nodata: float = 0.0
+
+    def tile_nbytes(self, tile_size: int) -> int:
+        return tile_size * tile_size * self.bands * np.dtype(self.dtype).itemsize
+
+    def to_array(self, raw: bytes, tile_size: int) -> np.ndarray:
+        return np.frombuffer(raw, dtype=self.dtype).reshape(
+            tile_size, tile_size, self.bands
+        )
+
+    def nodata_mask(self, arr: np.ndarray) -> np.ndarray:
+        """(H, W) mask of all-band-nodata pixels (NaN-aware)."""
+        if np.isnan(self.nodata):
+            return np.isnan(arr).all(axis=2)
+        return (arr == self.nodata).all(axis=2)
+
+
+def tile_rasters(
+    rasters: DataFrame,
+    spec: RasterSpec,
+    tile_size: int = 16,
+    strategy: TieredStrategy | None = None,
+) -> DataFrame:
+    """Rows (raster_id, data: binary of (h, w, bands) ``spec.dtype``,
+    w, h, lon, lat, res) → GRID_TILE_SCHEMA tile rows.
+
+    Nearest-neighbor lattice gather per raster (one resample per image,
+    not per cell), nodata fill outside the footprint — the dtype-generic
+    twin of ``tiling.tile_images``.
+    """
+    strat = strategy or TieredStrategy()
+    ts = tile_size
+    nodata = spec.nodata
+
+    def _tiles(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = np.frombuffer(r.data, dtype=spec.dtype).reshape(
+                    int(r.h), int(r.w), spec.bands
+                )
+                res = float(r.res)
+                minx, miny = float(r.lon), float(r.lat)
+                t = pick_tier(res, ts, strat)
+                span_x = strat.dim_x.range / (1 << t)
+                span_y = strat.dim_y.range / (1 << t)
+                gx, gy, cells = _cells_for_envelope(
+                    strat,
+                    t,
+                    minx,
+                    miny,
+                    min(minx + px.shape[1] * res, strat.dim_x.max),
+                    min(miny + px.shape[0] * res, strat.dim_y.max),
+                )
+                ax, ay = int(gx.min()), int(gy.min())
+                ncx = int(gx.max()) - ax + 1
+                ncy = int(gy.max()) - ay + 1
+                lat_x = strat.dim_x.min + ax * span_x + (np.arange(ncx * ts) + 0.5) * (span_x / ts)
+                lat_y = strat.dim_y.min + ay * span_y + (np.arange(ncy * ts) + 0.5) * (span_y / ts)
+                sx = np.floor((lat_x - minx) / res).astype(np.int64)
+                sy = np.floor((lat_y - miny) / res).astype(np.int64)
+                h, w = px.shape[:2]
+                okx = (sx >= 0) & (sx < w)
+                oky = (sy >= 0) & (sy < h)
+                lattice = np.full(
+                    (ncy * ts, ncx * ts, spec.bands), nodata, dtype=spec.dtype
+                )
+                if okx.any() and oky.any():
+                    sub = px[np.clip(sy, 0, h - 1)[:, None], np.clip(sx, 0, w - 1)[None, :]]
+                    mask = oky[:, None] & okx[None, :]
+                    lattice[mask] = sub[mask]
+                tiles = lattice.reshape(ncy, ts, ncx, ts, spec.bands).transpose(0, 2, 1, 3, 4)
+                for ix, iy, c in zip(gx.tolist(), gy.tolist(), cells.tolist()):
+                    rows.append(
+                        (
+                            r.raster_id,
+                            t,
+                            int(c),
+                            np.ascontiguousarray(tiles[iy - ay, ix - ax]).tobytes(),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in GRID_TILE_SCHEMA.fields])
+
+    cols = ["raster_id", "data", "w", "h", "lon", "lat", "res"]
+    return rasters.select(*cols).mapInPandas(_tiles, GRID_TILE_SCHEMA)
+
+
+# ---- merge-strategy SPI ---------------------------------------------------
+
+
+def _merge_nodata(acc: np.ndarray, cur: np.ndarray, acc_nodata: np.ndarray) -> np.ndarray:
+    acc[acc_nodata] = cur[acc_nodata]
+    return acc
+
+
+def _merge_last(acc: np.ndarray, cur: np.ndarray, acc_nodata: np.ndarray) -> np.ndarray:
+    return cur.copy()
+
+
+def _merge_min(acc, cur, acc_nodata):
+    out = np.fmin(acc, cur)
+    out[acc_nodata] = cur[acc_nodata]
+    return out
+
+
+def _merge_max(acc, cur, acc_nodata):
+    out = np.fmax(acc, cur)
+    out[acc_nodata] = cur[acc_nodata]
+    return out
+
+
+MERGE_STRATEGIES = {
+    "nodata": _merge_nodata,  # NoDataMergeStrategy.java semantics
+    "last": _merge_last,
+    "min": _merge_min,
+    "max": _merge_max,
+}
+
+
+def merge_raster_tiles(
+    tiles: DataFrame,
+    spec: RasterSpec,
+    tile_size: int = 16,
+    strategy: str = "nodata",
+) -> DataFrame:
+    """Fold overlapping tiles per (tier, cell) with a registered strategy
+    (deterministic raster_id order).  ``mean`` averages non-nodata samples
+    and is handled natively (needs a count plane, not a binary fold)."""
+    ts = tile_size
+
+    if strategy == "mean":
+
+        def _mean(key, pdf):
+            acc = np.zeros((ts, ts, spec.bands), dtype=np.float64)
+            cnt = np.zeros((ts, ts, 1), dtype=np.int64)
+            for raw in pdf["tile"]:
+                cur = spec.to_array(raw, ts).astype(np.float64)
+                valid = ~spec.nodata_mask(spec.to_array(raw, ts))
+                acc[valid] += cur[valid]
+                cnt[valid] += 1
+            out = np.full((ts, ts, spec.bands), spec.nodata, dtype=np.float64)
+            nz = cnt[:, :, 0] > 0
+            out[nz] = acc[nz] / cnt[nz]
+            return pd.DataFrame(
+                {
+                    "tier": [key[0]],
+                    "cell": [key[1]],
+                    "tile": [out.astype(spec.dtype).tobytes()],
+                    "n_sources": [len(pdf)],
+                }
+            )
+
+        return tiles.groupBy("tier", "cell").applyInPandas(_mean, GRID_MERGED_SCHEMA)
+
+    fn = MERGE_STRATEGIES[strategy]
+
+    def _merge(key, pdf):
+        pdf = pdf.sort_values("raster_id")
+        acc = None
+        for raw in pdf["tile"]:
+            cur = spec.to_array(raw, ts)
+            if acc is None:
+                acc = cur.copy()
+            else:
+                acc = fn(acc, cur, spec.nodata_mask(acc))
+        return pd.DataFrame(
+            {
+                "tier": [key[0]],
+                "cell": [key[1]],
+                "tile": [acc.tobytes()],
+                "n_sources": [len(pdf)],
+            }
+        )
+
+    return tiles.groupBy("tier", "cell").applyInPandas(_merge, GRID_MERGED_SCHEMA)

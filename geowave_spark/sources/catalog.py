@@ -44,8 +44,14 @@ def checkpointed_write(
     part_col: str,
     lon: str | None = "lon",
     lat: str | None = "lat",
+    stats_fields: list[str] | None = None,
 ) -> dict:
     """Write df partitioned by part_col, skipping already-written partitions.
+
+    ``stats_fields`` additionally maintains the persisted incremental
+    statistics store (``sources/statistics.py`` — count/range/stats/HLL/
+    Bloom partials per partition, the reference's statistics-on-write);
+    resumed writes only append stats for newly-written partitions.
 
     Returns {"written": [...], "skipped": [...]}.
     """
@@ -74,6 +80,10 @@ def checkpointed_write(
                 F.max(lat).alias("maxy"),
             ]
         todo_df.groupBy("part_key").agg(*m_aggs).write.mode("append").parquet(f"{path}/metrics")
+        if stats_fields:
+            from .statistics import update_statistics
+
+            update_statistics(todo_df, path, "part_key", stats_fields)
     todo_df.unpersist()
     return {"written": sorted(parts), "skipped": sorted(done)}
 

@@ -1,0 +1,156 @@
+"""SQL spatial-join injection — the SqlQueryRunner analog.
+
+The reference parses a user's SQL with Spark's parser, looks for exactly
+one registered geometry-UDF predicate joining two relations, runs
+TieredSpatialJoin on those relations, swaps the (now pre-filtered)
+relations back into the session and re-runs the original SQL
+(analytics/spark/.../sparksql/SqlQueryRunner.java:91-303).  The re-run
+re-applies the exact predicate over the much smaller participating
+subsets, so results are identical to evaluating the SQL directly — the
+index join only prunes.
+
+This module does the same at the SQL-text level:
+
+1. detect a single supported spatial predicate in the WHERE/ON clause —
+   ``st_within_distance(a.g, b.g, r)``, ``st_contains(a.g, b.g)``,
+   ``st_within(a.g, b.g)`` or ``st_intersects(a.g, b.g)`` — between two
+   FROM relations (comma or JOIN syntax, with or without aliases);
+2. run the matching indexed join (:func:`distance_join` for point×point,
+   :func:`polygon_distance_join` / :func:`point_in_polygon_join` when a
+   side holds polygons — detected from the WKT prefix of a sampled row);
+3. semi-join each input view down to its participating rows, register
+   the subsets as ``<name>__gw_injected``, rewrite the FROM clause, and
+   hand the SQL back to Spark — Catalyst then plans the (cheap) re-verify
+   over the subsets.
+
+Rows are identified by ``xxhash64`` over all columns, so inputs are
+assumed row-distinct (the reference keys on its own row ids; a table
+loaded through the engine's catalog always has a unique id column and
+can skip the hash).  Falls back to plain ``spark.sql`` when no supported
+predicate is found — never wrong, only sometimes un-accelerated.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_PRED = re.compile(
+    r"(?P<fn>st_within_distance|st_intersects|st_contains|st_within)\s*\(\s*"
+    r"(?P<a>\w+)\.(?P<ag>\w+)\s*,\s*(?P<b>\w+)\.(?P<bg>\w+)\s*"
+    r"(?:,\s*(?P<r>[0-9.eE+-]+)\s*)?\)",
+    re.IGNORECASE,
+)
+
+_FROM = re.compile(
+    r"FROM\s+(?P<t1>\w+)(?:\s+(?:AS\s+)?(?P<a1>\w+))?\s*"
+    r"(?:,|\bJOIN\b)\s*(?P<t2>\w+)(?:\s+(?:AS\s+)?(?P<a2>\w+))?",
+    re.IGNORECASE,
+)
+
+
+def _geom_kind(df: DataFrame, col: str) -> str:
+    row = df.select(col).where(F.col(col).isNotNull()).first()
+    if row is None:
+        return "POINT"
+    return str(row[0]).strip().split("(", 1)[0].strip().upper()
+
+
+def _with_rowid(df: DataFrame, name: str = "_gwid") -> DataFrame:
+    return df.withColumn(name, F.xxhash64(*[F.col(c) for c in df.columns]))
+
+
+def _point_lonlat(df: DataFrame, geom: str) -> DataFrame:
+    """POINT WKT column → lon/lat doubles (split on the inner space)."""
+    inner = F.regexp_extract(F.col(geom), r"POINT\s*\(\s*([-0-9.eE]+)\s+([-0-9.eE]+)\s*\)", 1)
+    inner2 = F.regexp_extract(F.col(geom), r"POINT\s*\(\s*([-0-9.eE]+)\s+([-0-9.eE]+)\s*\)", 2)
+    return df.withColumn("_gwlon", inner.cast("double")).withColumn(
+        "_gwlat", inner2.cast("double")
+    )
+
+
+def _indexed_pairs(
+    spark: SparkSession, ta: DataFrame, ga: str, tb: DataFrame, gb: str, fn: str, radius: float | None
+) -> DataFrame:
+    """(left _gwid, right _gwid) pairs through the indexed join."""
+    from .operators.join import (
+        distance_join,
+        point_in_polygon_join,
+        polygon_distance_join,
+    )
+
+    ka, kb = _geom_kind(ta, ga), _geom_kind(tb, gb)
+    a = _with_rowid(ta, "_aid")
+    b = _with_rowid(tb, "_bid")
+    fn = fn.lower()
+    if fn == "st_within_distance":
+        if radius is None:
+            raise ValueError("st_within_distance needs a radius literal")
+        if ka == "POINT" and kb == "POINT":
+            return distance_join(
+                _point_lonlat(a, ga), _point_lonlat(b, gb), radius,
+                "_aid", "_bid", "_gwlon", "_gwlat", "_gwlon", "_gwlat",
+            )
+        if ka == "POINT":
+            return polygon_distance_join(
+                _point_lonlat(a, ga), b, radius, "_aid", "_bid",
+                lon="_gwlon", lat="_gwlat", wkt=gb,
+            )
+        return polygon_distance_join(
+            _point_lonlat(b, gb), a, radius, "_bid", "_aid",
+            lon="_gwlon", lat="_gwlat", wkt=ga,
+        ).select("_aid", "_bid")
+    # containment/intersection family: point-in-polygon orientation
+    if fn == "st_contains" or (fn == "st_intersects" and ka != "POINT"):
+        # a's polygons contain b's points
+        return point_in_polygon_join(
+            _point_lonlat(b, gb), a, "_bid", "_aid", lon="_gwlon", lat="_gwlat", wkt=ga
+        ).select("_aid", "_bid")
+    # st_within / st_intersects with a's points against b's polygons
+    return point_in_polygon_join(
+        _point_lonlat(a, ga), b, "_aid", "_bid", lon="_gwlon", lat="_gwlat", wkt=gb
+    )
+
+
+def run_spatial_sql(spark: SparkSession, sql: str) -> DataFrame:
+    """Execute SQL; if it contains one supported spatial-join predicate
+    between the two FROM relations, inject the indexed join first."""
+    from .functions.registry import register_all
+
+    register_all(spark)
+    mp = _PRED.search(sql)
+    mf = _FROM.search(sql)
+    if not mp or not mf:
+        return spark.sql(sql)
+    t1, a1 = mf.group("t1"), mf.group("a1") or mf.group("t1")
+    t2, a2 = mf.group("t2"), mf.group("a2") or mf.group("t2")
+    pa, pb = mp.group("a"), mp.group("b")
+    if {pa, pb} != {a1, a2}:
+        return spark.sql(sql)  # predicate not over the two FROM relations
+    # orient (a, b) of the predicate onto (t1, t2)
+    ta_name, tb_name = (t1, t2) if pa == a1 else (t2, t1)
+    ta, tb = spark.table(ta_name), spark.table(tb_name)
+    radius = float(mp.group("r")) if mp.group("r") else None
+    pairs = _indexed_pairs(spark, ta, mp.group("ag"), tb, mp.group("bg"), mp.group("fn"), radius)
+    pairs = pairs.persist()
+    a_sub = _with_rowid(ta, "_aid").join(
+        pairs.select("_aid").distinct(), "_aid", "left_semi"
+    ).drop("_aid")
+    b_sub = _with_rowid(tb, "_bid").join(
+        pairs.select("_bid").distinct(), "_bid", "left_semi"
+    ).drop("_bid")
+    a_view, b_view = f"{ta_name}__gw_injected", f"{tb_name}__gw_injected"
+    a_sub.createOrReplaceTempView(a_view)
+    b_sub.createOrReplaceTempView(b_view)
+    # rewrite ONLY the FROM clause; the (explicit or self-named) aliases
+    # keep every other reference in the query valid
+    def _sub(m: re.Match) -> str:
+        sep = " JOIN " if re.search(r"\bjoin\b", m.group(0), re.IGNORECASE) else ", "
+        return (
+            f"FROM {m.group('t1')}__gw_injected {a1}{sep}{m.group('t2')}__gw_injected {a2}"
+        )
+
+    rewritten = _FROM.sub(_sub, sql, count=1)
+    return spark.sql(rewritten)

@@ -237,3 +237,97 @@ class TestTiling:
         for key, tile in rt.items():
             if key not in orig:
                 assert tile == zero  # padding cells materialized as nodata
+
+
+class TestGeneralRaster:
+    """Arbitrary-band/dtype raster tiles + pluggable merges
+    (raster/grid.py — RasterDataAdapter generality, NoDataMergeStrategy
+    SPI)."""
+
+    @pytest.fixture(scope="class")
+    def spec(self):
+        from geowave_spark.raster.grid import RasterSpec
+
+        return RasterSpec(bands=2, dtype="float32", nodata=-9999.0)
+
+    @pytest.fixture(scope="class")
+    def float_tiles(self, spark, spec):
+        import pandas as pd
+
+        from geowave_spark.raster.grid import tile_rasters
+
+        rng = np.random.default_rng(7)
+        rows = []
+        for i in range(12):
+            h, w = 24, 32
+            arr = rng.normal(100.0, 10.0, (h, w, 2)).astype(np.float32)
+            rows.append(
+                {
+                    "raster_id": f"r{i:02d}",
+                    "data": arr.tobytes(),
+                    "w": w,
+                    "h": h,
+                    "lon": float(-10 + (i % 4) * 0.002 * 16),  # overlapping grid
+                    "lat": float(5 + (i // 4) * 0.002 * 12),
+                    "res": 0.002,
+                }
+            )
+        df = spark.createDataFrame(pd.DataFrame(rows))
+        return tile_rasters(df, spec, tile_size=16).cache()
+
+    def test_tile_bytes_and_values(self, spark, spec, float_tiles):
+        rows = float_tiles.collect()
+        assert len(rows) > 12
+        for r in rows[:5]:
+            arr = spec.to_array(r["tile"], 16)
+            assert arr.shape == (16, 16, 2) and arr.dtype == np.float32
+            valid = ~spec.nodata_mask(arr)
+            # data pixels carry the gaussian field, nodata the fill value
+            if valid.any():
+                assert 40 < arr[valid].mean() < 160
+
+    def test_merge_strategies(self, spark, spec, float_tiles):
+        from geowave_spark.raster.grid import merge_raster_tiles
+
+        by = {}
+        for strat in ("nodata", "max", "mean"):
+            merged = merge_raster_tiles(float_tiles, spec, 16, strategy=strat)
+            rows = {(r["tier"], r["cell"]): r for r in merged.collect()}
+            by[strat] = rows
+        keys = set(by["nodata"])
+        assert keys == set(by["max"]) == set(by["mean"])
+        multi = [k for k in keys if by["nodata"][k]["n_sources"] > 1]
+        assert multi, "fixture must produce overlapping tiles"
+        k = multi[0]
+        a = spec.to_array(by["nodata"][k]["tile"], 16)
+        b = spec.to_array(by["max"][k]["tile"], 16)
+        c = spec.to_array(by["mean"][k]["tile"], 16)
+        va = ~spec.nodata_mask(a)
+        # max ≥ first-wins ≥ (well, mean is between min and max) on shared pixels
+        assert (b[va] >= a[va] - 1e-5).all()
+        assert (c[va] <= b[va] + 1e-5).all()
+
+    def test_merge_oracle_single_cell(self, spark, spec):
+        """Exact numpy oracle for the nodata fold on a constructed pair of
+        overlapping tiles."""
+        import pandas as pd
+
+        from geowave_spark.raster.grid import GRID_TILE_SCHEMA, merge_raster_tiles
+
+        ts = 4
+        a = np.full((ts, ts, 2), -9999.0, dtype=np.float32)
+        a[:2] = 1.0
+        b = np.full((ts, ts, 2), 2.0, dtype=np.float32)
+        pdf = pd.DataFrame(
+            [
+                ("a", 5, 99, a.tobytes()),
+                ("b", 5, 99, b.tobytes()),
+            ],
+            columns=[f.name for f in GRID_TILE_SCHEMA.fields],
+        )
+        tiles = spark.createDataFrame(pdf, GRID_TILE_SCHEMA)
+        out = merge_raster_tiles(tiles, spec, ts, strategy="nodata").collect()[0]
+        got = spec.to_array(out["tile"], ts)
+        want = a.copy()
+        want[2:] = 2.0  # b fills only a's nodata rows
+        assert np.array_equal(got, want) and out["n_sources"] == 2

@@ -1,0 +1,117 @@
+"""SQL spatial-join injection (sql_join.py — SqlQueryRunner analog):
+injected execution must return exactly the rows of evaluating the
+original SQL directly (the reference's IT compares the same way)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from geowave_spark.functions.registry import register_all
+from geowave_spark.sql_join import run_spatial_sql
+
+
+@pytest.fixture(scope="module")
+def views(spark):
+    rng = np.random.default_rng(3)
+    n = 600
+    pts = pd.DataFrame(
+        {
+            "pid": np.arange(n),
+            "kind": [f"k{v}" for v in rng.integers(0, 4, n)],
+            "lon": rng.uniform(-50, 50, n).round(3),
+            "lat": rng.uniform(-30, 30, n).round(3),
+        }
+    )
+    a = spark.createDataFrame(pts).withColumn(
+        "geom",
+        F.concat(
+            F.lit("POINT ("),
+            F.col("lon").cast("string"),
+            F.lit(" "),
+            F.col("lat").cast("string"),
+            F.lit(")"),
+        ),
+    ).drop("lon", "lat")
+    a.createOrReplaceTempView("sj_points")
+    b = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "oid": np.arange(200, 200 + n // 2),
+                "lon": rng.uniform(-50, 50, n // 2).round(3),
+                "lat": rng.uniform(-30, 30, n // 2).round(3),
+            }
+        )
+    ).withColumn(
+        "geom",
+        F.concat(
+            F.lit("POINT ("),
+            F.col("lon").cast("string"),
+            F.lit(" "),
+            F.col("lat").cast("string"),
+            F.lit(")"),
+        ),
+    ).drop("lon", "lat")
+    b.createOrReplaceTempView("sj_other")
+    rng2 = np.random.default_rng(5)
+    rows = []
+    for i in range(40):
+        cx, cy = rng2.uniform(-40, 40), rng2.uniform(-25, 25)
+        w, h = rng2.uniform(1, 6), rng2.uniform(1, 6)
+        rows.append(
+            (
+                int(i),
+                f"POLYGON (({cx - w} {cy - h}, {cx + w} {cy - h}, "
+                f"{cx + w} {cy + h}, {cx - w} {cy + h}, {cx - w} {cy - h}))",
+            )
+        )
+    spark.createDataFrame(rows, "rid int, geom string").createOrReplaceTempView(
+        "sj_regions"
+    )
+    register_all(spark)
+    return spark
+
+
+class TestInjection:
+    def test_distance_join_injection_matches_direct(self, spark, views):
+        sql = (
+            "SELECT a.pid, b.oid FROM sj_points a, sj_other b "
+            "WHERE st_within_distance(a.geom, b.geom, 1.5) AND a.kind = 'k1'"
+        )
+        got = {tuple(r) for r in run_spatial_sql(spark, sql).collect()}
+        want = {tuple(r) for r in spark.sql(sql).collect()}
+        assert got == want and len(want) > 5
+
+    def test_pip_injection_matches_direct(self, spark, views):
+        sql = (
+            "SELECT a.pid, r.rid FROM sj_points a JOIN sj_regions r "
+            "ON st_within(a.geom, r.geom)"
+        )
+        got = {tuple(r) for r in run_spatial_sql(spark, sql).collect()}
+        want = {tuple(r) for r in spark.sql(sql).collect()}
+        assert got == want and len(want) > 10
+
+    def test_contains_orientation(self, spark, views):
+        sql = (
+            "SELECT r.rid, a.pid FROM sj_regions r, sj_points a "
+            "WHERE st_contains(r.geom, a.geom)"
+        )
+        got = {tuple(r) for r in run_spatial_sql(spark, sql).collect()}
+        want = {tuple(r) for r in spark.sql(sql).collect()}
+        assert got == want
+
+    def test_aggregate_over_injected_join(self, spark, views):
+        sql = (
+            "SELECT a.kind, count(*) AS n FROM sj_points a, sj_other b "
+            "WHERE st_within_distance(a.geom, b.geom, 2.0) GROUP BY a.kind"
+        )
+        got = {tuple(r) for r in run_spatial_sql(spark, sql).collect()}
+        want = {tuple(r) for r in spark.sql(sql).collect()}
+        assert got == want
+
+    def test_non_spatial_sql_falls_back(self, spark, views):
+        sql = "SELECT kind, count(*) AS n FROM sj_points GROUP BY kind"
+        got = {tuple(r) for r in run_spatial_sql(spark, sql).collect()}
+        want = {tuple(r) for r in spark.sql(sql).collect()}
+        assert got == want
