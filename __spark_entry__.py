@@ -159,6 +159,24 @@ def q_spatial_distance_join_salted(spark, sf_dir):
     )
 
 
+HAVERSINE_RADIUS_M = 500_000.0
+
+
+def q_spatial_distance_join_meters(spark, sf_dir):
+    """Geodesic within-distance join (meters, haversine) — the
+    OrthodromicDistancePartitioner semantics; oracle recomputes the same
+    haversine formula in SQL."""
+    from geowave_spark.operators.join import haversine_distance_join
+
+    return haversine_distance_join(
+        _customer_points(spark, sf_dir),
+        _supplier_points(spark, sf_dir),
+        HAVERSINE_RADIUS_M,
+        "c_custkey",
+        "s_suppkey",
+    )
+
+
 def q_spatial_knn(spark, sf_dir):
     return knn_join(
         _supplier_points(spark, sf_dir),
@@ -931,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_distance_join": q_spatial_distance_join,
         "spatial_distance_join_anti": q_spatial_distance_join_anti,
         "spatial_distance_join_salted": q_spatial_distance_join_salted,
+        "spatial_distance_join_meters": q_spatial_distance_join_meters,
         "spatial_knn": q_spatial_knn,
         "spatial_pip_join": q_spatial_pip_join,
         "spatial_grid_bin_count": q_spatial_grid_bin_count,
@@ -1011,6 +1030,14 @@ WHERE (c.lon - s.lon) * (c.lon - s.lon) + (c.lat - s.lat) * (c.lat - s.lat) <= {
     return {
         "spatial_distance_join": dist_join,
         "spatial_distance_join_salted": dist_join,
+        "spatial_distance_join_meters": f"""
+WITH c AS ({cust_pts}), s AS ({supp_pts})
+SELECT c.c_custkey, s.s_suppkey FROM c, s
+WHERE 2 * 6371008.8 * asin(sqrt(
+  pow(sin(radians(s.lat - c.lat) / 2), 2)
+  + cos(radians(c.lat)) * cos(radians(s.lat)) * pow(sin(radians(s.lon - c.lon) / 2), 2)
+)) <= {HAVERSINE_RADIUS_M!r}
+""",
         "spatial_distance_join_anti": f"""
 WITH c AS ({cust_pts}), s AS ({supp_pts})
 SELECT c.c_custkey FROM c

@@ -270,6 +270,130 @@ def distance_join(
     return pairs
 
 
+EARTH_RADIUS_M = 6371008.8
+_M_PER_DEG = EARTH_RADIUS_M * np.pi / 180.0
+
+
+def haversine_expr(llon, llat, rlon, rlat):
+    """Great-circle distance in meters (haversine), pure Catalyst."""
+    return (
+        F.lit(2.0 * EARTH_RADIUS_M)
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(rlat - llat) / 2), 2)
+                + F.cos(F.radians(llat))
+                * F.cos(F.radians(rlat))
+                * F.pow(F.sin(F.radians(rlon - llon) / 2), 2)
+            )
+        )
+    )
+
+
+def haversine_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_m: float,
+    left_id: str,
+    right_id: str,
+    left_lon: str = "lon",
+    left_lat: str = "lat",
+    right_lon: str = "lon",
+    right_lat: str = "lat",
+    strategy: TieredStrategy = DEFAULT_STRATEGY,
+) -> DataFrame:
+    """Point×point join within ``radius_m`` METERS of great-circle
+    distance — the geodesic semantics of the reference's
+    OrthodromicDistancePartitioner (analytics/api/.../partitioner/
+    OrthodromicDistancePartitioner.java:95-132: neighbor-expansion
+    envelopes sized in meters, converted to degrees per latitude).
+
+    Plan = the planar join's single-tier cell equi-join, with
+    latitude-aware buffering on the build side:
+
+    - Δlat = r / (111.2 km/deg) is latitude-independent; the tier comes
+      from it exactly like the planar radius;
+    - Δlon(row) = Δlat / cos(φ_worst) where φ_worst is the largest |lat|
+      inside the row's lat band — an upper bound of the longitudinal
+      separation any within-r partner can have, so coverage is complete
+      (rows whose band reaches ±89.9° buffer the full lon ring);
+    - envelopes crossing the antimeridian split into wrapped parts
+      (LongitudeDefinition dateline semantics) so cross-dateline pairs
+      are found — the planar join clamps instead, consistent with its
+      planar-degrees oracle;
+    - exact post-filter: whole-stage-codegen haversine ≤ r.
+
+    A pair can meet in at most one (part, cell), so no dedupe stage —
+    same argument as the planar join (wrap parts are disjoint lon
+    intervals; the full-ring case emits no wrap parts).
+    """
+    dlat = radius_m / _M_PER_DEG
+    t_star = strategy.tier_for_width(2.0 * dlat, 2.0 * dlat)
+
+    r = right.select(
+        F.col(right_id).alias("_rid"),
+        F.col(right_lon).alias("_rlon"),
+        F.col(right_lat).alias("_rlat"),
+    )
+    phi_worst = F.least(F.abs(F.col("_rlat")) + F.lit(dlat), F.lit(89.9))
+    polar = (F.abs(F.col("_rlat")) + F.lit(dlat)) >= F.lit(89.9)
+    dlon = F.when(polar, F.lit(180.0)).otherwise(
+        F.lit(dlat) / F.cos(F.radians(phi_worst))
+    )
+    r = r.withColumn("_dlon", dlon)
+    minx = F.col("_rlon") - F.col("_dlon")
+    maxx = F.col("_rlon") + F.col("_dlon")
+    # Δlon ≥ 180 ⇒ the buffer wraps the whole ring regardless of center
+    not_ring = F.col("_dlon") < 180.0
+    prim = F.when(
+        not_ring,
+        F.struct(
+            F.greatest(minx, F.lit(-180.0)).alias("lo"),
+            F.least(maxx, F.lit(180.0)).alias("hi"),
+        ),
+    ).otherwise(
+        F.struct(F.lit(-180.0).alias("lo"), F.lit(180.0).alias("hi"))
+    )
+    wrap_lo = F.when(
+        (minx < F.lit(-180.0)) & not_ring,
+        F.struct((minx + 360.0).alias("lo"), F.lit(180.0).alias("hi")),
+    )
+    wrap_hi = F.when(
+        (maxx > F.lit(180.0)) & not_ring,
+        F.struct(F.lit(-180.0).alias("lo"), (maxx - 360.0).alias("hi")),
+    )
+    parts = r.withColumn(
+        "_part", F.explode(F.filter(F.array(prim, wrap_lo, wrap_hi), lambda x: x.isNotNull()))
+    )
+    build = explode_envelope_cells(
+        parts,
+        F.col("_part.lo"),
+        F.col("_rlat") - F.lit(dlat),
+        F.col("_part.hi"),
+        F.col("_rlat") + F.lit(dlat),
+        keep=["_rid", "_rlon", "_rlat"],
+        strategy=strategy,
+        tier=t_star,
+    ).drop("tier")
+
+    probe = left.select(
+        F.col(left_id).alias("_lid"),
+        F.col(left_lon).alias("_llon"),
+        F.col(left_lat).alias("_llat"),
+    ).withColumn(
+        "cell", point_cell_at_tier_udf(strategy, t_star)(F.col("_llon"), F.col("_llat"))
+    )
+    return (
+        probe.join(build.hint("shuffle_hash"), ["cell"])
+        .where(
+            haversine_expr(
+                F.col("_llon"), F.col("_llat"), F.col("_rlon"), F.col("_rlat")
+            )
+            <= F.lit(float(radius_m))
+        )
+        .select(F.col("_lid").alias(left_id), F.col("_rid").alias(right_id))
+    )
+
+
 def _local_grid_polygon_join(
     points: DataFrame,
     polygons: DataFrame,

@@ -1,0 +1,122 @@
+"""Ingest format plugins (sources/formats.py): shapefile + dbf + gpx.
+
+Round-trips a generated point shapefile (writer emits the public layout
+byte-for-byte), parses hand-built polygon/polyline records, and feeds
+the parsed output straight into a spatial operator — the reference's
+ingest-plugin contract (external format → features → query)."""
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geowave_spark.sources.formats import (
+    _parse_shp_records,
+    read_gpx,
+    read_shapefile,
+    write_shapefile_points,
+)
+
+
+@pytest.fixture(scope="module")
+def shp_points(tmp_path_factory):
+    rng = np.random.default_rng(3)
+    n = 500
+    pdf = pd.DataFrame(
+        {
+            "lon": rng.uniform(-60, 60, n).round(5),
+            "lat": rng.uniform(-40, 40, n).round(5),
+            "name": [f"site{i:03d}" for i in range(n)],
+            "value": rng.uniform(0, 10, n).round(3),
+        }
+    )
+    base = str(tmp_path_factory.mktemp("shp") / "pts")
+    write_shapefile_points(pdf, base)
+    return pdf, base
+
+
+class TestShapefile:
+    def test_point_round_trip_with_attributes(self, spark, shp_points):
+        pdf, base = shp_points
+        df = read_shapefile(spark, base + ".shp")
+        got = df.orderBy("fid").toPandas()
+        assert len(got) == len(pdf)
+        assert (got["shape"] == "POINT").all()
+        # geometry round-trips through WKT
+        lon = got["wkt"].str.extract(r"POINT \(([-0-9.e]+) ")[0].astype(float)
+        assert np.allclose(lon.to_numpy(), pdf["lon"].to_numpy())
+        # dbf attributes survive
+        assert got["name"].iloc[7] == "site007"
+        assert got["value"].iloc[3] == pytest.approx(pdf["value"].iloc[3], abs=1e-6)
+
+    def test_parallel_ranges_cover_all_records(self, spark, shp_points):
+        pdf, base = shp_points
+        df = read_shapefile(spark, base + ".shp", parallelism=7)
+        assert df.count() == len(pdf)
+        assert df.select("fid").distinct().count() == len(pdf)
+
+    def test_polygon_and_polyline_records(self):
+        def rec(recno, stype, pts, nparts=1):
+            body = struct.pack("<i", stype)
+            xs = [p[0] for p in pts]
+            ys = [p[1] for p in pts]
+            body += struct.pack("<4d", min(xs), min(ys), max(xs), max(ys))
+            body += struct.pack("<ii", nparts, len(pts))
+            body += struct.pack(f"<{nparts}i", *([0] * nparts))
+            for x, y in pts:
+                body += struct.pack("<dd", x, y)
+            return struct.pack(">ii", recno, len(body) // 2) + body
+
+        ring = [(0.0, 0.0), (4.0, 0.0), (4.0, 3.0), (0.0, 0.0)]
+        line = [(1.0, 1.0), (2.0, 5.0), (7.0, 5.0)]
+        buf = rec(1, 5, ring) + rec(2, 3, line)
+        rows = _parse_shp_records(buf, [0, len(rec(1, 5, ring))])
+        assert rows[0][1] == "POLYGON" and rows[0][2].startswith("POLYGON ((0 0, 4 0, 4 3")
+        assert rows[1][1] == "POLYLINE" and rows[1][2] == "LINESTRING (1 1, 2 5, 7 5)"
+
+    def test_feeds_spatial_operator(self, spark, shp_points):
+        """Parsed shapefile points join against a polygon table — the
+        ingest → query contract."""
+        from geowave_spark.operators.join import point_in_polygon_join
+
+        pdf, base = shp_points
+        pts = read_shapefile(spark, base + ".shp", attributes=False)
+        pts = pts.selectExpr(
+            "fid",
+            "CAST(regexp_extract(wkt, 'POINT \\\\(([-0-9.e]+) ', 1) AS DOUBLE) AS lon",
+            "CAST(regexp_extract(wkt, ' ([-0-9.e]+)\\\\)', 1) AS DOUBLE) AS lat",
+        )
+        polys = spark.createDataFrame(
+            [(1, "POLYGON ((-20 -20, 20 -20, 20 20, -20 20, -20 -20))")],
+            "region_id int, wkt string",
+        )
+        got = {r["fid"] for r in point_in_polygon_join(pts, polys, "fid", "region_id").collect()}
+        want = set(
+            np.arange(1, len(pdf) + 1)[
+                (pdf.lon.to_numpy() >= -20) & (pdf.lon.to_numpy() <= 20)
+                & (pdf.lat.to_numpy() >= -20) & (pdf.lat.to_numpy() <= 20)
+            ]
+        )
+        assert got == want and len(want) > 10
+
+
+class TestGpx:
+    def test_track_points(self, spark, tmp_path):
+        gpx = """<?xml version="1.0"?>
+<gpx xmlns="http://www.topografix.com/GPX/1/1" version="1.1">
+  <trk><name>t</name><trkseg>
+    <trkpt lon="-71.1" lat="42.3"><ele>12.5</ele><time>2024-01-01T00:00:00Z</time></trkpt>
+    <trkpt lon="-71.2" lat="42.4"><ele>13.0</ele><time>2024-01-01T00:01:00Z</time></trkpt>
+  </trkseg><trkseg>
+    <trkpt lon="-71.3" lat="42.5"/>
+  </trkseg></trk>
+</gpx>"""
+        p = tmp_path / "a.gpx"
+        p.write_text(gpx)
+        df = read_gpx(spark, str(p))
+        rows = df.orderBy("seg", "seq").collect()
+        assert len(rows) == 3
+        assert rows[0]["lon"] == -71.1 and rows[0]["ele"] == 12.5
+        assert rows[2]["seg"] == 1 and rows[2]["ele"] is None
+        assert rows[1]["wkt"] == "POINT (-71.2 42.4)"

@@ -222,3 +222,54 @@ class TestShufflePolygonJoin:
         assert len(want) > 100
         pts.unpersist()
         regs.unpersist()
+
+
+class TestHaversineJoin:
+    """Geodesic (meter) distance join — numpy haversine brute oracle,
+    including dateline-straddling and high-latitude pairs."""
+
+    @staticmethod
+    def _hav(lon1, lat1, lon2, lat2):
+        R = 6371008.8
+        p1, p2 = np.radians(lat1), np.radians(lat2)
+        dphi = p2 - p1
+        dl = np.radians(lon2 - lon1)
+        a = np.sin(dphi / 2) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dl / 2) ** 2
+        return 2 * R * np.arcsin(np.sqrt(a))
+
+    def test_meters_parity_with_edges(self, spark):
+        from geowave_spark.operators.join import haversine_distance_join
+
+        rng = np.random.default_rng(17)
+        n = 600
+        lon = rng.uniform(-180, 180, n)
+        lat = rng.uniform(-85, 85, n)
+        # force dateline-straddling and high-latitude pairs
+        lon[:6] = [179.5, -179.6, 178.9, -178.8, 179.9, -179.9]
+        lat[:6] = [10.0, 10.2, -30.0, -30.1, 84.0, 84.05]
+        lat[6:10] = [83.5, 83.6, -84.0, -84.2]
+        lon[6:10] = [10.0, 14.0, -120.0, -119.0]
+        # full-ring regime: Δlon buffer ≥ 180° (these polar rows caught a
+        # bug where the clamped primary envelope missed most of the ring)
+        lat[10:14] = [-88.9, -88.7, 89.0, 88.8]
+        lon[10:14] = [150.0, -100.0, 20.0, -170.0]
+        import pandas as pd
+
+        a = pd.DataFrame({"aid": np.arange(n), "lon": lon, "lat": lat})
+        b = pd.DataFrame({"bid": np.arange(1000, 1000 + n), "lon": np.roll(lon, 7), "lat": np.roll(lat, 7)})
+        r_m = 300_000.0
+        got = {
+            (r["aid"], r["bid"])
+            for r in haversine_distance_join(
+                spark.createDataFrame(a), spark.createDataFrame(b), r_m, "aid", "bid"
+            ).collect()
+        }
+        d = self._hav(
+            lon[:, None], lat[:, None], np.roll(lon, 7)[None, :], np.roll(lat, 7)[None, :]
+        )
+        ii, jj = np.nonzero(d <= r_m)
+        want = {(int(i), int(1000 + j)) for i, j in zip(ii, jj)}
+        assert got == want and len(want) > 20
+        # the fixture really exercises the dateline path
+        cross = [(i, j - 1000) for i, j in want if abs(lon[i] - np.roll(lon, 7)[j - 1000]) > 300]
+        assert cross, "no dateline pairs in fixture"
