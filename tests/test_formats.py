@@ -120,3 +120,52 @@ class TestGpx:
         assert rows[0]["lon"] == -71.1 and rows[0]["ele"] == 12.5
         assert rows[2]["seg"] == 1 and rows[2]["ele"] is None
         assert rows[1]["wkt"] == "POINT (-71.2 42.4)"
+
+
+class TestGeoTiff:
+    """Baseline GeoTIFF parse (sources/geotiff.py): writer→reader
+    round-trip, georeferencing, and the feed into general raster tiling."""
+
+    def test_round_trip_float32(self, tmp_path):
+        from geowave_spark.sources.geotiff import parse_geotiff, write_geotiff
+
+        rng = np.random.default_rng(5)
+        arr = rng.normal(0, 1, (20, 30, 2)).astype(np.float32)
+        p = str(tmp_path / "a.tif")
+        write_geotiff(p, arr, origin=(-10.5, 42.25), res=0.01)
+        got, meta = parse_geotiff(open(p, "rb").read())
+        assert np.array_equal(got, arr)
+        assert meta["origin"] == (-10.5, 42.25)
+        assert meta["pixel_scale"][0] == 0.01
+
+    def test_round_trip_uint16_bigendian_reject(self, tmp_path):
+        from geowave_spark.sources.geotiff import parse_geotiff, write_geotiff
+
+        arr = (np.arange(6 * 8) % 1000).astype(np.uint16).reshape(6, 8, 1)
+        p = str(tmp_path / "b.tif")
+        write_geotiff(p, arr, origin=(0.0, 0.0), res=0.5)
+        got, meta = parse_geotiff(open(p, "rb").read())
+        assert np.array_equal(got, arr) and meta["bands"] == 1
+        with pytest.raises(ValueError):
+            parse_geotiff(b"XX\x00\x2a")
+
+    def test_spark_read_feeds_tiling(self, spark, tmp_path):
+        from geowave_spark.raster.grid import RasterSpec, tile_rasters
+        from geowave_spark.sources.geotiff import read_geotiffs, write_geotiff
+
+        rng = np.random.default_rng(9)
+        for i in range(3):
+            arr = rng.normal(50, 5, (24, 32, 1)).astype(np.float32)
+            write_geotiff(
+                str(tmp_path / f"r{i}.tif"), arr, origin=(-5 + i, 10.0), res=0.002
+            )
+        df = read_geotiffs(spark, str(tmp_path))
+        rows = df.collect()
+        assert len(rows) == 3 and rows[0]["bands"] == 1
+        spec = RasterSpec(bands=1, dtype="float32", nodata=0.0)
+        tiles = tile_rasters(df, spec, tile_size=16)
+        assert tiles.count() >= 3
+        t = tiles.first()
+        a = spec.to_array(t["tile"], 16)
+        valid = a != 0.0
+        assert valid.any() and 30 < a[valid].mean() < 70
