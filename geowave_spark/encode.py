@@ -307,7 +307,13 @@ def distinct_polygon_tiers(
 
 
 def point_cell_at_tier_udf(strategy: TieredStrategy, tier: int):
-    """Pandas UDF: (lon, lat) → Hilbert cell at one fixed tier."""
+    """Pandas UDF: (lon, lat) → Hilbert cell at one fixed tier.
+
+    Marked nondeterministic (it IS deterministic) so Catalyst cannot
+    duplicate it: the join's pushed-down ``isnotnull(cell)`` otherwise
+    clones the Arrow eval below the filter and the probe side pays two
+    Python exchanges for one column (round-1 plan-audit artifact).
+    """
 
     @F.pandas_udf(LongType())
     def _cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
@@ -316,7 +322,7 @@ def point_cell_at_tier_udf(strategy: TieredStrategy, tier: int):
         )
         return pd.Series(c)
 
-    return _cell
+    return _cell.asNondeterministic()
 
 
 def explode_envelope_cells(
