@@ -668,6 +668,23 @@ def q_video_frame_sample(spark, sf_dir):
     )
 
 
+def q_dbscan_clusters(spark, sf_dir):
+    """DBSCAN cluster summary (DBScanMapReduce analog) — rows-only gate
+    (iterative connected components, not SQL-expressible; exact numpy
+    oracle in tests/test_dbscan.py).  Output is deterministic: the
+    cluster label is the minimum member key of the component."""
+    from geowave_spark.operators.dbscan import dbscan
+
+    out = dbscan(
+        _customer_points(spark, sf_dir), eps=8.0, min_pts=3, id_col="c_custkey"
+    )
+    return (
+        out.where(F.col("cluster").isNotNull())
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
 def q_kmeans_hulls(spark, sf_dir):
     """MLlib KMeans + convex hull per cluster (KMeansRunner.java:201-211,
     KMeansHullGenerator) — rows-only gate (iterative, not SQL-expressible)."""
@@ -977,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_functions": q_scalar_functions,
         "xz_range_query": q_xz_range_query,
         "kmeans_hulls": q_kmeans_hulls,
+        "dbscan_clusters": q_dbscan_clusters,
         "audio_features": q_audio_features,
         "video_frame_sample": q_video_frame_sample,
         "gwql_select": q_gwql_select,
