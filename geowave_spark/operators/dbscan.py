@@ -75,11 +75,18 @@ def dbscan(
     lon: str = "lon",
     lat: str = "lat",
     max_iter: int = 25,
+    driver_cc_limit: int = 5_000_000,
 ) -> DataFrame:
     """→ (id_col, cluster, is_core); cluster NULL = noise.
 
     ``cluster`` is the minimum core-point id of the component (stable,
-    deterministic across runs and partitionings).
+    deterministic across runs and partitionings).  Components resolve via
+    driver union-find when the core-core edge list fits
+    ``driver_cc_limit`` (one job, no per-iteration overhead); above it, a
+    distributed min-label propagation WITH pointer jumping (label :=
+    label-of-label each round) converges in O(log diameter) rounds — a
+    plain edge relax needs diameter rounds and long chains silently
+    exceeded ``max_iter`` before.
     """
     edges = _neighbor_edges(points, eps, id_col, lon, lat).persist()
     degree = edges.groupBy("a").agg(F.count(F.lit(1)).alias("_deg"))
@@ -92,18 +99,66 @@ def dbscan(
         .persist()
     )
 
-    labels = core.select(F.col("_id"), F.col("_id").alias("_lbl")).localCheckpoint()
+    # Adaptive connected components: below the edge cap, collect the
+    # (core, core) edge list and run driver-side union-find — one pass,
+    # no per-iteration job overhead (a 1500-point clustering otherwise
+    # spends ~20 s on ~10 propagation rounds of fixed scheduler cost).
+    # Above the cap, the distributed min-label propagation below handles
+    # any scale (the reference's DBScanIterationsJobRunner shape).
+    n_edges = cc_edges.count()
+    if n_edges <= driver_cc_limit:
+        import numpy as np
+        import pandas as pd
+
+        epdf = cc_edges.toPandas()
+        ids = pd.unique(pd.concat([epdf["a"], epdf["b"]], ignore_index=True))
+        idx = pd.Series(np.arange(len(ids)), index=ids)
+        parent = np.arange(len(ids))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(idx[epdf["a"]].to_numpy(), idx[epdf["b"]].to_numpy()):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[rb] = ra
+        roots = np.array([find(int(i)) for i in range(len(ids))])
+        lbl_pdf = pd.DataFrame({"_id": ids, "_root": roots})
+        lbl_pdf["_lbl"] = lbl_pdf.groupby("_root")["_id"].transform("min")
+        spark = points.sparkSession
+        labels = spark.createDataFrame(lbl_pdf[["_id", "_lbl"]])
+        # isolated core points (no core-core edge) label themselves
+        labels = core.select(
+            "_id", F.col("_id").alias("_lbl")
+        ).join(labels.select("_id"), "_id", "left_anti").unionByName(labels)
+        max_iter = 0
+    else:
+        labels = core.select(F.col("_id"), F.col("_id").alias("_lbl")).localCheckpoint()
     for _ in range(max_iter):
         neigh = (
             cc_edges.join(labels.withColumnRenamed("_id", "b"), "b")
             .groupBy("a")
             .agg(F.min("_lbl").alias("_nlbl"))
         )
+        relaxed = labels.join(neigh.withColumnRenamed("a", "_id"), "_id", "left").select(
+            "_id",
+            F.least(F.col("_lbl"), F.coalesce(F.col("_nlbl"), F.col("_lbl"))).alias("_lbl"),
+        )
+        # pointer jumping: also adopt the label of the current label —
+        # halves the remaining distance to the component minimum each round
+        parent = relaxed.select(
+            F.col("_id").alias("_p_id"), F.col("_lbl").alias("_p_lbl")
+        )
         new_labels = (
-            labels.join(neigh.withColumnRenamed("a", "_id"), "_id", "left")
+            relaxed.join(parent, relaxed["_lbl"] == parent["_p_id"], "left")
             .select(
                 "_id",
-                F.least(F.col("_lbl"), F.coalesce(F.col("_nlbl"), F.col("_lbl"))).alias("_lbl"),
+                F.least(
+                    F.col("_lbl"), F.coalesce(F.col("_p_lbl"), F.col("_lbl"))
+                ).alias("_lbl"),
             )
             .localCheckpoint()
         )

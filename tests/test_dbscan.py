@@ -75,3 +75,25 @@ def test_dbscan_matches_oracle(spark, eps, min_pts):
     clusters = {c for c, _ in want.values() if c}
     assert len(clusters) >= 2  # fixture really forms clusters
     assert any(c is None for c, _ in want.values())  # and noise
+
+
+def test_long_chain_distributed_equals_unionfind(spark):
+    """A 300-point chain (diameter 300 hops) must resolve to ONE cluster
+    on BOTH component paths — the plain edge relax silently returned
+    unconverged labels past max_iter before pointer jumping."""
+    import pandas as pd
+
+    from geowave_spark.operators.dbscan import dbscan
+
+    n = 300
+    pdf = pd.DataFrame(
+        {"image_id": [f"p{i:04d}" for i in range(n)],
+         "lon": np.arange(n) * 0.5, "lat": np.zeros(n)}
+    )
+    df = spark.createDataFrame(pdf)
+    fast = dbscan(df, eps=0.6, min_pts=2).toPandas()
+    dist = dbscan(df, eps=0.6, min_pts=2, driver_cc_limit=0).toPandas()
+    for out in (fast, dist):
+        out = out.sort_values("image_id")
+        assert out["cluster"].nunique() == 1 and out["cluster"].notna().all()
+    assert fast.sort_values("image_id")["cluster"].tolist() == dist.sort_values("image_id")["cluster"].tolist()
