@@ -301,6 +301,7 @@ def knn_join(
     r2 = cs * cs
     spark = queries.sparkSession
     chunk_limit = dense_cell_threshold or DENSE_CHUNK
+    auto_chunk = dense_cell_threshold is None
 
     cand = candidates.select(
         F.col(candidate_id).alias("_cid"),
@@ -346,6 +347,19 @@ def knn_join(
         if stats[f"g{s}"] <= group_target:
             S = s
             break
+    if auto_chunk:
+        # Parallelism-aware chunk cap (SplitsProvider sizes splits by
+        # mapper count the same way): clustered data can concentrate in a
+        # handful of supercells, leaving most cores idle at high
+        # parallelism unless hot groups split finer than the plain
+        # task-SIZE cap requires.  Target ≥ ~3 waves of tasks; floor at
+        # 4k candidates/chunk so tiny chunks don't drown in per-group
+        # overhead.  Explicit dense_cell_threshold disables this (tests
+        # pin exact split behavior with it).
+        cores = spark.sparkContext.defaultParallelism
+        chunk_limit = max(
+            4_000, min(chunk_limit, int(np.ceil(stats["n"] / max(3 * cores, 1))))
+        )
     hot_rows = (
         cand.groupBy(
             F.floor((F.col("_clon") + F.lit(180.0)) / F.lit(cs * S)).alias("sx"),
