@@ -3,6 +3,7 @@
 from .dimensions import LATITUDE, LATITUDE_SQUARE, LONGITUDE, Dimension, split_dateline, temporal_bin_year
 from .geohash import geohash_encode
 from .h3hex import hex_cell_id, hex_cell_unpack
+from .hierarchical import KIND_EXTENT, KIND_POINT, XZHierarchicalStrategy
 from .hilbert import hilbert_to_xy, truncate_to_tier, xy_to_hilbert
 from .spatial_temporal import (
     DEFAULT_ST_STRATEGY,
@@ -27,6 +28,9 @@ __all__ = [
     "temporal_bin_year",
     "geohash_encode",
     "hex_cell_id",
+    "XZHierarchicalStrategy",
+    "KIND_POINT",
+    "KIND_EXTENT",
     "hex_cell_unpack",
     "xy_to_hilbert",
     "hilbert_to_xy",

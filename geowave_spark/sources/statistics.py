@@ -186,6 +186,34 @@ def bloom_contains(bits: np.ndarray, values) -> np.ndarray:
     return out
 
 
+def index_statistics(spark: SparkSession, path: str) -> dict:
+    """Index-level statistics from the catalog side tables — the analog of
+    the reference's index statistics family
+    (core/store/.../statistics/index/{PartitionsStatistic,
+    RowRangeHistogramStatistic, IndexMetaDataSetStatistic}.java): the
+    partition list, a rows-per-partition histogram, totals, and the index
+    envelope union — all answered from the metrics table, no data scan."""
+    m = spark.read.parquet(f"{path}/metrics")
+    rows = m.collect()
+    parts = sorted(r["part_key"] for r in rows)
+    counts = {r["part_key"]: r["n_rows"] for r in rows}
+    out = {
+        "partitions": parts,
+        "n_partitions": len(parts),
+        "row_histogram": counts,
+        "total_rows": int(sum(counts.values())),
+        "max_partition_rows": int(max(counts.values())) if counts else 0,
+    }
+    if rows and "minx" in rows[0].asDict():
+        out["envelope"] = (
+            min(r["minx"] for r in rows),
+            min(r["miny"] for r in rows),
+            max(r["maxx"] for r in rows),
+            max(r["maxy"] for r in rows),
+        )
+    return out
+
+
 def bloom_might_contain(spark: SparkSession, path: str, field: str, value) -> bool:
     """Single-value convenience over :func:`merged_bloom` +
     :func:`bloom_contains` (BloomFilterStatistic membership probe)."""

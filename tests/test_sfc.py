@@ -515,3 +515,56 @@ class TestHexBinning:
         lat = np.degrees(np.arcsin(r.uniform(-1, 1, 100_000)))  # uniform on sphere
         n = len(np.unique(hex_cell_id(lon, lat, 2)))
         assert 200 < n < 5000, n
+
+
+class TestXZHierarchical:
+    """Composite point+extent strategy (XZHierarchicalIndexStrategy analog,
+    sfc/hierarchical.py)."""
+
+    def test_points_and_extents_route_to_sub_indexes(self):
+        from geowave_spark.sfc.hierarchical import (
+            KIND_EXTENT,
+            KIND_POINT,
+            XZHierarchicalStrategy,
+        )
+
+        s = XZHierarchicalStrategy()
+        r = np.random.default_rng(3)
+        n = 400
+        cx = r.uniform(-170, 170, n)
+        cy = r.uniform(-80, 80, n)
+        w = np.where(np.arange(n) % 2 == 0, 0.0, 10 ** r.uniform(-2, 0.8, n))
+        kind, code = s.encode(cx, cy, cx + w, cy + w)
+        assert (kind[::2] == KIND_POINT).all() and (kind[1::2] == KIND_EXTENT).all()
+        # point codes agree with the tiered point curve
+        want = s.tiered.point_cells(cx[::2], cy[::2]).astype(np.int64)
+        assert (code[::2] == want).all()
+
+    def test_query_ranges_cover_both_kinds(self):
+        from geowave_spark.sfc.hierarchical import (
+            KIND_EXTENT,
+            KIND_POINT,
+            XZHierarchicalStrategy,
+        )
+
+        s = XZHierarchicalStrategy()
+        r = np.random.default_rng(7)
+        n = 600
+        cx = r.uniform(-60, 60, n)
+        cy = r.uniform(-40, 40, n)
+        w = np.where(np.arange(n) % 2 == 0, 0.0, 10 ** r.uniform(-2, 0.5, n))
+        kind, code = s.encode(cx, cy, cx + w, cy + w)
+        box = (-20.0, -15.0, 25.0, 18.0)
+        ranges = s.query_ranges(*box, max_ranges=256)
+        # every entity intersecting the box must fall in a range of its kind
+        inter = (cx <= box[2]) & (cx + w >= box[0]) & (cy <= box[3]) & (cy + w >= box[1])
+        for k in (KIND_POINT, KIND_EXTENT):
+            lo = np.array([a for a, _ in ranges[k]])
+            hi = np.array([b for _, b in ranges[k]])
+            m = inter & (kind == k)
+            if not m.any():
+                continue
+            covered = (
+                (code[m][:, None] >= lo[None, :]) & (code[m][:, None] <= hi[None, :])
+            ).any(axis=1)
+            assert covered.all(), f"kind {k}: {(~covered).sum()} uncovered"

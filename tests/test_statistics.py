@@ -104,3 +104,27 @@ def test_checkpointed_write_maintains_stats_incrementally(spark, tmp_path):
     stats = read_statistics(spark, path)
     assert stats.count() == 3  # one partial per partition, not six
     assert optimal_count(spark, path, "v") == 300
+
+
+def test_index_statistics_from_metrics(spark, tmp_path):
+    """PartitionsStatistic / RowRangeHistogramStatistic analogs answered
+    from the metrics side table alone."""
+    from geowave_spark.sources.catalog import checkpointed_write
+    from geowave_spark.sources.statistics import index_statistics
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {
+            "tier": np.repeat([4, 5], [120, 80]),
+            "lon": rng.uniform(-30, 40, 200),
+            "lat": rng.uniform(-10, 20, 200),
+        }
+    )
+    path = str(tmp_path / "tbl")
+    checkpointed_write(spark.createDataFrame(pdf), path, "tier")
+    got = index_statistics(spark, path)
+    assert got["partitions"] == ["4", "5"]
+    assert got["row_histogram"] == {"4": 120, "5": 80}
+    assert got["total_rows"] == 200 and got["max_partition_rows"] == 120
+    minx, miny, maxx, maxy = got["envelope"]
+    assert minx == pytest.approx(pdf.lon.min()) and maxy == pytest.approx(pdf.lat.max())
