@@ -712,6 +712,20 @@ def _customer_pts_view(spark, sf_dir):
     df.createOrReplaceTempView("customer_pts")
 
 
+def _supplier_pts_view(spark, sf_dir):
+    df = _supplier_points(spark, sf_dir).withColumn(
+        "geom",
+        F.concat(
+            F.lit("POINT ("),
+            F.col("lon").cast("string"),
+            F.lit(" "),
+            F.col("lat").cast("string"),
+            F.lit(")"),
+        ),
+    )
+    df.createOrReplaceTempView("supplier_pts")
+
+
 def q_gwql_select(spark, sf_dir):
     """GWQL SELECT with BBOX + text predicate (GWQL.g4:75-105 surface)."""
     from geowave_spark.gwql import run as gwql_run
@@ -746,6 +760,71 @@ def q_gwql_delete(spark, sf_dir):
         "DELETE FROM events WHERE ts BEFORE '2024-01-10T00:00:00'::date "
         "OR strContains(event_type, 'click')",
     ).select("event_id", "event_type", "value")
+
+
+def q_cql_select(spark, sf_dir):
+    """ECQL front-end (CQLQueryFilter/OptimalCQLQuery analog): BBOX +
+    comparison + LIKE filter compiled to Catalyst — oracle is the same
+    predicate in plain SQL."""
+    from geowave_spark.cql import cql_filter
+
+    df = _customer_points(spark, sf_dir).withColumn(
+        "geom",
+        F.concat(
+            F.lit("POINT ("), F.col("lon").cast("string"),
+            F.lit(" "), F.col("lat").cast("string"), F.lit(")"),
+        ),
+    )
+    return cql_filter(
+        df,
+        "BBOX(geom, -50, -30, 60, 40) AND c_custkey > 100 "
+        "AND NOT c_mktsegment LIKE 'AUTO%'",
+    ).select("c_custkey")
+
+
+def q_sql_injected_join(spark, sf_dir):
+    """SQL spatial-join injection (SqlQueryRunner analog): the indexed
+    join pre-filters the relations, then the original SQL re-runs —
+    output equals direct evaluation, which the plain-SQL oracle states."""
+    from geowave_spark.sql_join import run_spatial_sql
+
+    _customer_pts_view(spark, sf_dir)
+    _supplier_pts_view(spark, sf_dir)
+    return run_spatial_sql(
+        spark,
+        "SELECT c.c_custkey, s.s_suppkey FROM customer_pts c, supplier_pts s "
+        f"WHERE st_within_distance(c.geom, s.geom, {JOIN_RADIUS})",
+    )
+
+
+def q_stats_store_merge(spark, sf_dir):
+    """Persisted incremental statistics store: write customers partitioned
+    by segment with statistics-on-write, answer count/min/max/sum from
+    merged partials (OptimalCountAggregation + NumericRangeStatistic
+    semantics) — the oracle recomputes the same aggregates by scanning."""
+    import shutil
+    import tempfile
+
+    from geowave_spark.sources.catalog import checkpointed_write
+    from geowave_spark.sources.statistics import merged_statistics
+
+    pts = _customer_points(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="gw_stats_")
+    shutil.rmtree(path, ignore_errors=True)
+    checkpointed_write(pts, path, "c_mktsegment", stats_fields=["lon"])
+    m = merged_statistics(spark, path, "lon")
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                int(m["count"]),
+                float(m["min"]),
+                float(m["max"]),
+                round(float(m["sum"]), 6),
+            )
+        ],
+        "cnt bigint, min_lon double, max_lon double, sum_lon double",
+    )
 
 
 def q_dedupe_rows(spark, sf_dir):
@@ -1001,6 +1080,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gwql_agg": q_gwql_agg,
         "gwql_delete": q_gwql_delete,
         "dedupe_rows": q_dedupe_rows,
+        "cql_select": q_cql_select,
+        "sql_injected_join": q_sql_injected_join,
+        "stats_store_merge": q_stats_store_merge,
         "dedup_exact_docs": q_dedup_exact_docs,
         "doc_fingerprint": q_doc_fingerprint,
         "token_stats": q_token_stats,
@@ -1171,6 +1253,19 @@ WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
 """,
         "dedupe_rows": """
 SELECT o_custkey, min(o_orderkey) AS o_orderkey FROM orders GROUP BY o_custkey
+""",
+        "cql_select": f"""
+WITH c AS ({cust_pts})
+SELECT c_custkey FROM c
+WHERE lon >= -50 AND lon <= 60 AND lat >= -30 AND lat <= 40
+  AND c_custkey > 100 AND NOT c_mktsegment LIKE 'AUTO%'
+""",
+        "sql_injected_join": dist_join,
+        "stats_store_merge": f"""
+WITH c AS ({cust_pts})
+SELECT count(*) AS cnt, min(lon) AS min_lon, max(lon) AS max_lon,
+       round(sum(lon), 6) AS sum_lon
+FROM c
 """,
         "filter_expression": """
 SELECT o_orderkey FROM orders
