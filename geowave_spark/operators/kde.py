@@ -91,6 +91,53 @@ def kde(
     return distributed_percent_rank(cells)
 
 
+def kde_tiles(
+    points: DataFrame,
+    level: int,
+    tile_size: int = 16,
+    lon: str = "lon",
+    lat: str = "lat",
+    weight: str | None = None,
+    value: str = "pct",
+) -> DataFrame:
+    """KDE cell grid → float32 raster tiles — the vector→raster stage of
+    the reference's KDE job (KDERunner.java:267-311: cell weights pack
+    into tileSize² coverages per index cell).
+
+    The 2^(level+1) × 2^level cell grid partitions into tile_size-aligned
+    blocks; each block becomes one row (tx, ty, tile) with a float32
+    tile_size×tile_size payload of ``value`` (percentile by default,
+    'weight' for raw densities; absent cells are 0).  One hash
+    aggregation keyed by block — the same shape as the raster merge.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ts = tile_size
+    cells = kde(points, level, lon, lat, weight)
+    keyed = cells.withColumn("_tx", F.floor(F.col("cx") / ts).cast("long")).withColumn(
+        "_ty", F.floor(F.col("cy") / ts).cast("long")
+    )
+
+    def _pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.zeros((ts, ts), dtype=np.float32)
+        arr[
+            pdf["cy"].to_numpy(np.int64) % ts, pdf["cx"].to_numpy(np.int64) % ts
+        ] = pdf[value].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "tx": [key[0]],
+                "ty": [key[1]],
+                "tile": [arr.tobytes()],
+                "n_cells": [len(pdf)],
+            }
+        )
+
+    return keyed.groupBy("_tx", "_ty").applyInPandas(
+        _pack, "tx long, ty long, tile binary, n_cells int"
+    )
+
+
 def distributed_percent_rank(cells: DataFrame, num_buckets: int | None = None) -> DataFrame:
     """Exact global percent_rank over (weight, cx, cy) without a
     single-partition window.

@@ -215,3 +215,31 @@ def test_subsample_one_per_cell(spark, pts):
         .first()[0]
     )
     assert row["image_id"] == want
+
+
+def test_kde_tiles_reassemble_exactly(spark):
+    """KDE raster tiles (the vector→raster stage) reassemble to exactly
+    the cell grid the kde() DataFrame reports."""
+    import pandas as pd
+
+    from geowave_spark.operators.kde import kde, kde_tiles
+
+    r = np.random.default_rng(41)
+    pdf = pd.DataFrame({"lon": r.uniform(-160, 160, 300), "lat": r.uniform(-75, 75, 300)})
+    df = spark.createDataFrame(pdf)
+    level, ts = 4, 8
+    cells = {(row["cx"], row["cy"]): row["pct"] for row in kde(df, level).collect()}
+    tiles = kde_tiles(df, level, tile_size=ts).collect()
+    seen = {}
+    for t in tiles:
+        arr = np.frombuffer(t["tile"], dtype=np.float32).reshape(ts, ts)
+        for yy in range(ts):
+            for xx in range(ts):
+                if arr[yy, xx] != 0.0:
+                    seen[(t["tx"] * ts + xx, t["ty"] * ts + yy)] = arr[yy, xx]
+    assert set(seen) <= set(cells)
+    for k, v in seen.items():
+        assert v == pytest.approx(cells[k], rel=1e-6)
+    # every nonzero-pct cell appears in some tile
+    nz = {k for k, v in cells.items() if v > 0}
+    assert nz <= set(seen)

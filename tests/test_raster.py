@@ -331,3 +331,30 @@ class TestGeneralRaster:
         want = a.copy()
         want[2:] = 2.0  # b fills only a's nodata rows
         assert np.array_equal(got, want) and out["n_sources"] == 2
+
+
+def test_tile_pyramid_levels(spark):
+    """build_pyramid emits the full-resolution tier plus coarser levels
+    (RasterDataAdapter pyramid semantics); coarser tiers cover the same
+    footprint with 4x fewer cells per level (up to grid clipping)."""
+    from geowave_spark.raster.tiling import pick_tier, tile_images
+    from geowave_spark.sfc.tiered import TieredStrategy
+    from geowave_spark.sources.images import images_table
+
+    from pyspark.sql import functions as F
+
+    strat = TieredStrategy()
+    imgs = (
+        images_table(spark, 6)
+        .withColumn("lon", F.lit(10.0))
+        .withColumn("lat", F.lit(20.0))
+        .withColumn("res", F.lit(0.004))
+    )
+    tiles = tile_images(imgs, tile_size=16, build_pyramid=True, pyramid_levels=2)
+    pdf = tiles.groupBy("image_id", "tier").count().toPandas()
+    t0 = pick_tier(0.004, 16, strat)
+    for _, grp in pdf.groupby("image_id"):
+        tiers = set(grp["tier"])
+        assert tiers == {t0, t0 - 1, t0 - 2}
+        counts = dict(zip(grp["tier"], grp["count"]))
+        assert counts[t0 - 1] <= counts[t0] and counts[t0 - 2] <= counts[t0 - 1]
