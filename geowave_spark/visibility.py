@@ -1,0 +1,98 @@
+"""Row-level visibility filtering (ClientVisibilityFilter analog).
+
+The reference attaches a visibility expression to each row — labels
+combined with ``&`` (and), ``|`` (or) and parentheses, Accumulo-style —
+and a scan passes only rows whose expression is satisfied by the
+caller's authorization set
+(core/store/.../query/filter/ClientVisibilityFilter.java; round-1 survey
+declared this out of scope, restored here as the last uncovered row).
+
+Mixed ``&``/``|`` without parentheses parses with ``&`` binding
+tighter (Accumulo itself rejects the mix outright; accepting the
+conventional precedence is a strict superset).
+
+``visibility_filter(df, auths)`` evaluates the per-row expression
+against the auth set in an Arrow-batched UDF; distinct expressions are
+parsed once per batch (tables carry few distinct visibilities, so the
+memo hit rate is ~100%).  An empty/NULL visibility means public.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _eval_expr(expr: str, auths: frozenset) -> bool:
+    """Evaluate an ``a&(b|c)``-style visibility expression."""
+    pos = 0
+    n = len(expr)
+
+    def parse_or() -> bool:
+        nonlocal pos
+        v = parse_and()
+        while pos < n and expr[pos] == "|":
+            pos += 1
+            v = parse_and() or v
+        return v
+
+    def parse_and() -> bool:
+        nonlocal pos
+        v = parse_term()
+        while pos < n and expr[pos] == "&":
+            pos += 1
+            v = parse_term() and v
+        return v
+
+    def parse_term() -> bool:
+        nonlocal pos
+        if pos < n and expr[pos] == "(":
+            pos += 1
+            v = parse_or()
+            if pos >= n or expr[pos] != ")":
+                raise ValueError(f"visibility: unbalanced parens in {expr!r}")
+            pos += 1
+            return v
+        start = pos
+        while pos < n and expr[pos] not in "&|()":
+            pos += 1
+        token = expr[start:pos].strip()
+        if not token:
+            raise ValueError(f"visibility: empty term in {expr!r}")
+        return token in auths
+
+    v = parse_or()
+    if pos != n:
+        raise ValueError(f"visibility: trailing input in {expr!r}")
+    return v
+
+
+def evaluate_visibility(expr: str | None, auths) -> bool:
+    """True when ``expr`` is satisfied by the auth set (NULL/'' = public)."""
+    if expr is None or not expr.strip():
+        return True
+    return _eval_expr(expr.replace(" ", ""), frozenset(auths))
+
+
+def visibility_filter(
+    df: DataFrame, auths, vis_col: str = "visibility"
+) -> DataFrame:
+    """Keep rows whose visibility expression the auth set satisfies."""
+    auth_set = frozenset(auths)
+
+    @F.pandas_udf("boolean")
+    def _vis(v: pd.Series) -> pd.Series:
+        memo: dict = {}
+
+        def ok(e):
+            if e is None or not str(e).strip():
+                return True
+            key = str(e)
+            if key not in memo:
+                memo[key] = _eval_expr(key.replace(" ", ""), auth_set)
+            return memo[key]
+
+        return v.map(ok)
+
+    return df.where(_vis(F.col(vis_col)))
