@@ -114,13 +114,58 @@ def video_table(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
 
 
 def decode_audio(raw: bytes, codec: str, n_samples: int) -> np.ndarray:
-    """bytes → float32 samples in [-1, 1].  Real for pcm16; stub otherwise."""
+    """bytes → float32 samples in [-1, 1].  Real for pcm16 and wav (RIFF
+    container, PCM16 payload — parsed from scratch per the public WAVE
+    spec); compressed codecs remain documented stubs."""
     if codec == "pcm16":
         return np.frombuffer(raw, dtype="<i2", count=n_samples).astype(np.float32) / 32768.0
+    if codec == "wav":
+        return _decode_wav(raw, n_samples)
     raise NotImplementedError(
         f"audio codec {codec!r}: decode stubbed in this environment "
         "(no audio libraries); plumbing is real — swap in a decoder here"
     )
+
+
+def _decode_wav(raw: bytes, n_samples: int) -> np.ndarray:
+    """Minimal RIFF/WAVE parse: walk chunks to 'fmt ' (require PCM16) and
+    'data'; mono or first channel of interleaved frames."""
+    import struct
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        (size,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        body = raw[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    audio_format, channels, _rate, _bps, _block, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError("only PCM16 WAVE supported")
+    samples = np.frombuffer(data, dtype="<i2")
+    if channels > 1:
+        samples = samples[::channels]
+    return samples[:n_samples].astype(np.float32) / 32768.0
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """float32 [-1, 1] → mono PCM16 WAVE bytes (for tests/round-trips)."""
+    import struct
+
+    pcm = np.clip(np.asarray(samples) * 32767.0, -32768, 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
 def decode_video(raw: bytes, codec: str, w: int, h: int, n_frames: int) -> np.ndarray:

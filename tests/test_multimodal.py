@@ -71,3 +71,30 @@ def test_strict_mode_surfaces_stub(spark):
     tbl = audio_table(spark, 8)
     with pytest.raises(Exception):
         audio_features(tbl, skip_undecodable=False).collect()
+
+
+def test_wav_round_trip():
+    """RIFF/WAVE container parse (real codec, not a stub): encode →
+    decode round-trips PCM16 exactly."""
+    import numpy as np
+
+    from geowave_spark.sources.multimodal import decode_audio, encode_wav
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-0.9, 0.9, 4000).astype(np.float32)
+    raw = encode_wav(x, sample_rate=8000)
+    got = decode_audio(raw, "wav", 4000)
+    want = np.clip(x * 32767, -32768, 32767).astype("<i2").astype(np.float32) / 32768.0
+    assert np.array_equal(got, want)
+
+
+def test_wav_rejects_garbage_and_compressed():
+    import numpy as np
+    import pytest as _pytest
+
+    from geowave_spark.sources.multimodal import decode_audio
+
+    with _pytest.raises(ValueError):
+        decode_audio(b"nope", "wav", 10)
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"", "mp3", 10)
