@@ -27,7 +27,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .geom import cell_rect_intersects_polygon, parse_wkt, polygon_envelope
+from .geom import (
+    cell_rect_intersects_geom,
+    cell_rect_intersects_polygon,  # noqa: F401  (re-export)
+    geom_is_closed,
+    parse_wkt,  # noqa: F401  (re-export)
+    parse_wkt_multi,
+    polygon_envelope,  # noqa: F401  (re-export)
+)
 from .sfc import TieredStrategy
 from .sfc.geohash import geohash_encode
 from .sfc.hilbert import hilbert_to_xy
@@ -168,37 +175,12 @@ def polygon_cells_udf(
 
     @F.pandas_udf(_INS_SCHEMA)
     def _ins(wkt: pd.Series) -> pd.Series:
-        n = len(wkt)
-        polys = [parse_wkt(w)[1] for w in wkt]
-        env = np.array([polygon_envelope(p) for p in polys], dtype=np.float64)
-        row, tier, cell = strategy.envelope_insertion_ids(
-            env[:, 0] - buffer,
-            env[:, 1] - buffer,
-            env[:, 2] + buffer,
-            env[:, 3] + buffer,
-            max_duplicates=max_duplicates,
+        row, tier, cell = polygon_cells_np(
+            list(wkt), strategy, max_duplicates, buffer, trim
         )
-        out: list[list[dict]] = [[] for _ in range(n)]
-        if len(row):
-            keep = np.ones(len(row), dtype=bool)
-            if trim:
-                counts = np.bincount(row, minlength=n)
-                for i in np.nonzero(counts > 3)[0]:
-                    m = row == i
-                    t = int(tier[m][0])
-                    if t == 0:
-                        continue
-                    cx, cy = hilbert_to_xy(cell[m].astype(np.uint64), t)
-                    span_x = strategy.dim_x.range / (1 << t)
-                    span_y = strategy.dim_y.range / (1 << t)
-                    rminx = strategy.dim_x.min + cx.astype(np.float64) * span_x - buffer
-                    rminy = strategy.dim_y.min + cy.astype(np.float64) * span_y - buffer
-                    hit = cell_rect_intersects_polygon(
-                        rminx, rminy, rminx + span_x + 2 * buffer, rminy + span_y + 2 * buffer, polys[i]
-                    )
-                    keep[np.nonzero(m)[0][~hit]] = False
-            for r, t, c in zip(row[keep].tolist(), tier[keep].tolist(), cell[keep].tolist()):
-                out[r].append({"tier": int(t), "cell": int(c)})
+        out: list[list[dict]] = [[] for _ in range(len(wkt))]
+        for r, t, c in zip(row.tolist(), tier.tolist(), cell.tolist()):
+            out[r].append({"tier": int(t), "cell": int(c)})
         return pd.Series(out)
 
     return _ins
@@ -283,10 +265,14 @@ def distinct_polygon_tiers(
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def _tiers(wkt: pd.Series) -> pd.Series:
-        polys = [parse_wkt(w)[1] for w in wkt]
-        env = np.array([polygon_envelope(p) for p in polys], dtype=np.float64).reshape(
-            len(polys), 4
-        )
+        coords = [np.vstack(parse_wkt_multi(w)[1]) for w in wkt]
+        env = np.array(
+            [
+                (c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max())
+                for c in coords
+            ],
+            dtype=np.float64,
+        ).reshape(len(coords), 4)
         t = strategy.envelope_tiers(
             env[:, 0] - buffer,
             env[:, 1] - buffer,
@@ -388,15 +374,23 @@ def polygon_cells_np(
     trim: bool = True,
     polys=None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Insertion cells for a batch of WKT polygons → (row_index, tier, cell)
-    numpy arrays, with trimIndexIds pruning (RDDUtils.java:158-184: when an
-    entity received more than 3 cells, drop cells whose rectangle does not
-    intersect the buffered geometry).  Shared by the executor-side
-    mapInPandas explode and the driver-side broadcast-build path."""
+    """Insertion cells for a batch of WKT geometries → (row_index, tier,
+    cell) numpy arrays, with trimIndexIds pruning (RDDUtils.java:158-184:
+    when an entity received more than 3 cells, drop cells whose rectangle
+    does not intersect the buffered geometry).  Kind-aware: polylines trim
+    against their real segments (a cell inside a line's phantom hull does
+    NOT keep the line), closed rings use the exact polygon test.  Shared
+    by the executor-side mapInPandas explode and the driver-side
+    broadcast-build path."""
     n = len(wkts)
-    if polys is None:
-        polys = [parse_wkt(w)[1] for w in wkts]
-    env = np.array([polygon_envelope(p) for p in polys], dtype=np.float64).reshape(n, 4)
+    if polys is not None:
+        geoms = [("POLYGON", [p]) for p in polys]
+    else:
+        geoms = [parse_wkt_multi(w) for w in wkts]
+    env = np.empty((n, 4), dtype=np.float64)
+    for i, (_, parts) in enumerate(geoms):
+        c = np.vstack(parts)
+        env[i] = (c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max())
     row, tier, cell = strategy.envelope_insertion_ids(
         env[:, 0] - buffer,
         env[:, 1] - buffer,
@@ -417,8 +411,10 @@ def polygon_cells_np(
             span_y = strategy.dim_y.range / (1 << t)
             rminx = strategy.dim_x.min + cx.astype(np.float64) * span_x - buffer
             rminy = strategy.dim_y.min + cy.astype(np.float64) * span_y - buffer
-            hit = cell_rect_intersects_polygon(
-                rminx, rminy, rminx + span_x + 2 * buffer, rminy + span_y + 2 * buffer, polys[i]
+            kind, parts = geoms[i]
+            hit = cell_rect_intersects_geom(
+                rminx, rminy, rminx + span_x + 2 * buffer, rminy + span_y + 2 * buffer,
+                parts, geom_is_closed(kind),
             )
             keep_mask[np.nonzero(m)[0][~hit]] = False
     return row[keep_mask], tier[keep_mask], cell[keep_mask]

@@ -31,15 +31,22 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, DoubleType, StringType
 
 from ..geom import (
+    GeomBatch,
+    geom_is_closed,
+    geoms_pair_dist2,
     pad_rings,
     parse_wkt,
+    parse_wkt_multi,
+    points_geoms_dist2_batch,
     points_in_polygons_batch,
+    points_intersect_geoms_batch,
     points_polygons_dist2_batch,
     polygon_envelope,
     rings_edges_intersect,
 )
 
 _PARSE_CACHE: dict[str, tuple[str, np.ndarray]] = {}
+_PARSE_MULTI_CACHE: dict[str, tuple[str, list[np.ndarray]]] = {}
 
 
 def _parse(w: str) -> tuple[str, np.ndarray]:
@@ -51,76 +58,76 @@ def _parse(w: str) -> tuple[str, np.ndarray]:
     return g
 
 
+def _parse_multi(w: str) -> tuple[str, list[np.ndarray]]:
+    g = _PARSE_MULTI_CACHE.get(w)
+    if g is None:
+        g = parse_wkt_multi(w)
+        if len(_PARSE_MULTI_CACHE) < 500_000:
+            _PARSE_MULTI_CACHE[w] = g
+    return g
+
+
 def _pairwise_dist2(a: pd.Series, b: pd.Series) -> np.ndarray:
-    """Squared distance between geometry pairs (point↔point, point↔polygon)."""
+    """Squared distance between geometry pairs — kind-aware (POINT,
+    LINESTRING, POLYGON, MULTI\\*).  Open polylines use only their real
+    segments (no phantom closing edge, no containment — the round-2
+    line-distance fix); closed rings keep interior-distance-0."""
     n = len(a)
     out = np.empty(n, dtype=np.float64)
-    ga = [_parse(w) for w in a]
-    gb = [_parse(w) for w in b]
+    ga = [_parse_multi(w) for w in a]
+    gb = [_parse_multi(w) for w in b]
     # vectorize the common point↔point case
-    pp = np.array([x[0] == "POINT" and y[0] == "POINT" for x, y in zip(ga, gb)])
+    pp = np.array([x[0] == "POINT" and y[0] == "POINT" for x, y in zip(ga, gb)], dtype=bool)
     if pp.any():
         ii = np.nonzero(pp)[0]
-        ax = np.array([ga[i][1][0][0] for i in ii])
-        ay = np.array([ga[i][1][0][1] for i in ii])
-        bx = np.array([gb[i][1][0][0] for i in ii])
-        by = np.array([gb[i][1][0][1] for i in ii])
+        ax = np.array([ga[i][1][0][0, 0] for i in ii])
+        ay = np.array([ga[i][1][0][0, 1] for i in ii])
+        bx = np.array([gb[i][1][0][0, 0] for i in ii])
+        by = np.array([gb[i][1][0][0, 1] for i in ii])
         out[ii] = (ax - bx) ** 2 + (ay - by) ** 2
     mixed = np.nonzero(~pp)[0]
     if len(mixed):
-        # point↔polygon (either order); polygon↔polygon falls back to 0 if
-        # they intersect else min vertex-to-edge distance
-        pts_x, pts_y, codes, rings = [], [], [], []
-        for k, i in enumerate(mixed):
-            (ka, ca), (kb, cb) = ga[i], gb[i]
+        # point↔geometry (either order) batches through one GeomBatch;
+        # geometry↔geometry is exact pairwise (0 on intersection, else min
+        # vertex→edge either way — exact for piecewise-linear shapes)
+        pts_x, pts_y, rows, geoms = [], [], [], []
+        for i in mixed:
+            (ka, pa), (kb, pb) = ga[i], gb[i]
             if ka == "POINT" and kb != "POINT":
-                pts_x.append(ca[0][0]); pts_y.append(ca[0][1]); rings.append(cb)
+                pts_x.append(pa[0][0, 0]); pts_y.append(pa[0][0, 1]); geoms.append(gb[i]); rows.append(i)
             elif kb == "POINT":
-                pts_x.append(cb[0][0]); pts_y.append(cb[0][1]); rings.append(ca)
+                pts_x.append(pb[0][0, 0]); pts_y.append(pb[0][0, 1]); geoms.append(ga[i]); rows.append(i)
             else:
-                # polygon↔polygon: 0 if boundaries cross, else min distance
-                # is attained vertex-of-one → edge-of-other (piecewise linear)
-                if rings_edges_intersect(ca, cb):
-                    out[i] = 0.0
-                    continue
-                d1 = points_polygons_dist2_batch(
-                    ca[:, 0], ca[:, 1], np.zeros(len(ca), dtype=int), pad_rings([cb])
-                ).min()
-                d2 = points_polygons_dist2_batch(
-                    cb[:, 0], cb[:, 1], np.zeros(len(cb), dtype=int), pad_rings([ca])
-                ).min()
-                out[i] = min(d1, d2)
-                continue
-            codes.append(len(rings) - 1)
+                out[i] = geoms_pair_dist2(
+                    pa, geom_is_closed(ka), pb, geom_is_closed(kb)
+                )
         if pts_x:
-            padded = pad_rings(rings)
-            d = points_polygons_dist2_batch(
-                np.array(pts_x), np.array(pts_y), np.array(codes), padded
+            batch = GeomBatch(geoms)
+            d = points_geoms_dist2_batch(
+                np.array(pts_x), np.array(pts_y),
+                np.arange(len(geoms), dtype=np.int64), batch,
             )
-            j = 0
-            for i in mixed:
-                (ka, _), (kb, _) = ga[i], gb[i]
-                if ka == "POINT" or kb == "POINT":
-                    if not (ka == "POINT" and kb == "POINT"):
-                        out[i] = d[j]
-                        j += 1
+            out[np.array(rows, dtype=np.int64)] = d
     return out
 
 
 def _intersects_pair(a, b) -> bool:
-    (ka, ca), (kb, cb) = a, b
+    """Kind-aware INTERSECTS on parsed-multi geometries."""
+    (ka, pa), (kb, pb) = a, b
     if ka == "POINT" and kb == "POINT":
-        return bool(np.all(ca[0] == cb[0]))
-    if ka == "POINT":
-        return bool(points_in_polygons_batch(ca[:1, 0], ca[:1, 1], np.zeros(1, int), pad_rings([cb]))[0])
-    if kb == "POINT":
-        return bool(points_in_polygons_batch(cb[:1, 0], cb[:1, 1], np.zeros(1, int), pad_rings([ca]))[0])
-    # polygon/polygon: vertex containment either way, else edge crossing
-    if points_in_polygons_batch(ca[:, 0], ca[:, 1], np.zeros(len(ca), int), pad_rings([cb])).any():
-        return True
-    if points_in_polygons_batch(cb[:, 0], cb[:, 1], np.zeros(len(cb), int), pad_rings([ca])).any():
-        return True
-    return rings_edges_intersect(ca, cb)
+        return bool(np.all(pa[0][0] == pb[0][0]))
+    if ka == "POINT" or kb == "POINT":
+        (pt_parts, other) = (pa, b) if ka == "POINT" else (pb, a)
+        batch = GeomBatch([other])
+        return bool(
+            points_intersect_geoms_batch(
+                pt_parts[0][:1, 0], pt_parts[0][:1, 1], np.zeros(1, np.int64), batch
+            )[0]
+        )
+    # extended × extended: any vertex of one inside/on the other, else edge
+    # crossing between any part pair
+    ca, cb_ = geom_is_closed(ka), geom_is_closed(kb)
+    return geoms_pair_dist2(pa, ca, pb, cb_) == 0.0
 
 
 def _wkt_of(g) -> str:
@@ -145,45 +152,57 @@ def register_all(spark: SparkSession) -> None:
 
     @F.pandas_udf(BooleanType())
     def st_intersects(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series([_intersects_pair(_parse(x), _parse(y)) for x, y in zip(a, b)])
+        return pd.Series([_intersects_pair(_parse_multi(x), _parse_multi(y)) for x, y in zip(a, b)])
 
     @F.pandas_udf(BooleanType())
     def st_disjoint(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series([not _intersects_pair(_parse(x), _parse(y)) for x, y in zip(a, b)])
+        return pd.Series([not _intersects_pair(_parse_multi(x), _parse_multi(y)) for x, y in zip(a, b)])
+
+    def _contains_pair(ga, gb) -> bool:
+        """a CONTAINS b: closed a, any-kind b — every vertex of b inside a
+        (boundary-inclusive) and no proper boundary crossing (vertex-sample
+        approximation of JTS covers(), exact for the convex fixtures)."""
+        from ..geom import rings_edges_proper_cross
+
+        (ka, pa), (kb, pb) = ga, gb
+        if not geom_is_closed(ka):
+            return False
+        batch = GeomBatch([ga])
+        vb = np.vstack(pb)
+        if not points_intersect_geoms_batch(
+            vb[:, 0], vb[:, 1], np.zeros(len(vb), np.int64), batch
+        ).all():
+            return False
+        if kb == "POINT" or kb == "MULTIPOINT":
+            return True
+        cb_ = geom_is_closed(kb)
+        return not any(
+            rings_edges_proper_cross(b_part, a_part, closed_a=cb_, closed_b=True)
+            for b_part in pb
+            for a_part in pa
+            if len(b_part) > 1
+        )
 
     @F.pandas_udf(BooleanType())
     def st_contains(a: pd.Series, b: pd.Series) -> pd.Series:
-        """a CONTAINS b — polygon a, point b (the join-relevant case)."""
-        out = np.zeros(len(a), dtype=bool)
-        for i, (x, y) in enumerate(zip(a, b)):
-            ga, gb = _parse(x), _parse(y)
-            if ga[0] != "POINT" and gb[0] == "POINT":
-                out[i] = bool(
-                    points_in_polygons_batch(
-                        gb[1][:1, 0], gb[1][:1, 1], np.zeros(1, int), pad_rings([ga[1]])
-                    )[0]
-                )
-        return pd.Series(out)
+        """a CONTAINS b — polygon a; point/line/polygon b."""
+        return pd.Series(
+            [_contains_pair(_parse_multi(x), _parse_multi(y)) for x, y in zip(a, b)]
+        )
 
     @F.pandas_udf(BooleanType())
     def st_within(a: pd.Series, b: pd.Series) -> pd.Series:
-        """a WITHIN b — point a, polygon b."""
-        out = np.zeros(len(a), dtype=bool)
-        for i, (x, y) in enumerate(zip(a, b)):
-            ga, gb = _parse(x), _parse(y)
-            if ga[0] == "POINT" and gb[0] != "POINT":
-                out[i] = bool(
-                    points_in_polygons_batch(
-                        ga[1][:1, 0], ga[1][:1, 1], np.zeros(1, int), pad_rings([gb[1]])
-                    )[0]
-                )
-        return pd.Series(out)
+        """a WITHIN b — mirror of contains."""
+        return pd.Series(
+            [_contains_pair(_parse_multi(y), _parse_multi(x)) for x, y in zip(a, b)]
+        )
 
     @F.pandas_udf(StringType())
     def st_envelope(a: pd.Series) -> pd.Series:
         out = []
         for w in a:
-            _, c = _parse(w)
+            _, parts = _parse_multi(w)
+            c = np.vstack(parts)
             x0, y0, x1, y1 = polygon_envelope(c) if len(c) > 1 else (c[0][0], c[0][1], c[0][0], c[0][1])
             out.append(
                 f"POLYGON (({x0:.17g} {y0:.17g}, {x1:.17g} {y0:.17g}, "
@@ -217,24 +236,27 @@ def register_all(spark: SparkSession) -> None:
     # is exactly the envelope semantics here).
 
     def _env_of(w: str):
-        kind, c = _parse(w)
-        if kind == "POINT":
+        kind, parts = _parse_multi(w)
+        c = np.vstack(parts)
+        if len(c) == 1:
             return c[0][0], c[0][1], c[0][0], c[0][1]
         return polygon_envelope(c)
 
     @F.pandas_udf(BooleanType())
     def st_bbox(g: pd.Series, minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series) -> pd.Series:
-        from ..geom import cell_rect_intersects_polygon
+        from ..geom import cell_rect_intersects_geom
 
         out = np.zeros(len(g), dtype=bool)
         for i, w in enumerate(g):
-            kind, c = _parse(w)
+            kind, parts = _parse_multi(w)
             x0, y0, x1, y1 = float(minx[i]), float(miny[i]), float(maxx[i]), float(maxy[i])
             if kind == "POINT":
+                c = parts[0]
                 out[i] = x0 <= c[0][0] <= x1 and y0 <= c[0][1] <= y1
             else:
-                out[i] = cell_rect_intersects_polygon(
-                    np.array([x0]), np.array([y0]), np.array([x1]), np.array([y1]), c
+                out[i] = cell_rect_intersects_geom(
+                    np.array([x0]), np.array([y0]), np.array([x1]), np.array([y1]),
+                    parts, geom_is_closed(kind),
                 )[0]
         return pd.Series(out)
 
@@ -264,25 +286,18 @@ def register_all(spark: SparkSession) -> None:
 
         return _acc
 
-    def _interiors_overlap(ga, gb) -> bool:
-        """Some interior point of each lies inside the other (vertex-sample
-        approximation; exact for the convex fixtures this engine tests)."""
-        (ka, ca), (kb, cb) = ga, gb
-        if ka == "POINT" or kb == "POINT":
-            return False
-        ina = points_in_polygons_batch(ca[:, 0], ca[:, 1], np.zeros(len(ca), int), pad_rings([cb]))
-        inb = points_in_polygons_batch(cb[:, 0], cb[:, 1], np.zeros(len(cb), int), pad_rings([ca]))
-        return bool(ina.any() or inb.any() or rings_edges_intersect(ca, cb))
-
     @F.pandas_udf(BooleanType())
     def st_overlaps(a: pd.Series, b: pd.Series) -> pd.Series:
         """Polygon/polygon OVERLAPS: interiors intersect, neither covers the
-        other (GWQL OVERLAPS; JTS semantics approximated on vertices)."""
+        other (GWQL OVERLAPS; JTS semantics approximated on vertices).
+        Defined for closed×closed only — mixed-dimension pairs (any
+        point/line input) are false, matching JTS dimension rules."""
         out = np.zeros(len(a), dtype=bool)
         for i, (x, y) in enumerate(zip(a, b)):
-            ga, gb = _parse(x), _parse(y)
-            if ga[0] == "POINT" or gb[0] == "POINT":
+            ka, kb = _parse_multi(x)[0], _parse_multi(y)[0]
+            if not (geom_is_closed(ka) and geom_is_closed(kb)):
                 continue
+            ga, gb = _parse(x), _parse(y)
             ina = points_in_polygons_batch(
                 ga[1][:, 0], ga[1][:, 1], np.zeros(len(ga[1]), int), pad_rings([gb[1]])
             )
@@ -299,8 +314,11 @@ def register_all(spark: SparkSession) -> None:
         approximation of JTS TOUCHES)."""
         out = np.zeros(len(a), dtype=bool)
         for i, (x, y) in enumerate(zip(a, b)):
+            if not _intersects_pair(_parse_multi(x), _parse_multi(y)):
+                continue
             ga, gb = _parse(x), _parse(y)
-            if not _intersects_pair(ga, gb):
+            if ga[0] not in ("POINT", "POLYGON") or gb[0] not in ("POINT", "POLYGON"):
+                # touches is defined here for point/polygon pairs only
                 continue
             if ga[0] == "POINT" or gb[0] == "POINT":
                 # point touches a polygon iff it sits on the boundary
@@ -363,7 +381,7 @@ def register_all(spark: SparkSession) -> None:
             # lines whose endpoints are all outside the polygon)
             out[i] = bool(
                 (inside.any() and not inside.all())
-                or rings_edges_proper_cross(line, poly)
+                or rings_edges_proper_cross(line, poly, closed_a=False, closed_b=True)
             )
         return pd.Series(out)
 

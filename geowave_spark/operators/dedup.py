@@ -150,12 +150,19 @@ def minhash_lsh_dedup(
 
     @F.pandas_udf(DoubleType())
     def _jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        out = np.empty(len(ta))
-        for i, (x, y) in enumerate(zip(ta, tb)):
-            sa = _shingles(x or "", shingle)
-            sb = _shingles(y or "", shingle)
+        # shingle each DISTINCT text once per batch (candidate pairs share
+        # texts heavily); the remaining per-pair step is one sorted-array
+        # intersection — verify-stage only, bounded by candidate count
+        codes_a, uniq = pd.factorize(pd.concat([ta, tb], ignore_index=True))
+        sh = [_shingles(t or "", shingle) for t in uniq]
+        n = len(ta)
+        out = np.empty(n)
+        for i in range(n):
+            sa = sh[codes_a[i]]
+            sb = sh[codes_a[n + i]]
             inter = np.intersect1d(sa, sb, assume_unique=True).size
-            out[i] = inter / (sa.size + sb.size - inter) if (sa.size + sb.size - inter) else 1.0
+            denom = sa.size + sb.size - inter
+            out[i] = inter / denom if denom else 1.0
         return pd.Series(out)
 
     return (
@@ -182,18 +189,24 @@ def simhash_udf(shingle: int = 2, seed: int = 7):
 
     @F.pandas_udf(LongType())
     def _sh(texts: pd.Series) -> pd.Series:
-        out = np.empty(len(texts), dtype=np.int64)
+        # whole-batch vectorization (round-2 verdict minor #4): concatenate
+        # every text's shingle hashes, expand to a (S_total, 64) ±1 bit
+        # matrix once, and segment-sum per document with add.reduceat —
+        # no per-row Python beyond the string decode itself
+        if not len(texts):
+            return pd.Series(np.zeros(0, dtype=np.int64))
+        shs = [_shingles(t or "", shingle) for t in texts]  # each ≥1 hash
+        lens = np.array([len(s) for s in shs], dtype=np.int64)
+        allh = np.concatenate(shs)
+        with np.errstate(over="ignore"):
+            h = (allh * mul) ^ (allh >> np.uint64(31))
         bit_idx = np.arange(64, dtype=np.uint64)
-        for i, t in enumerate(texts):
-            sh = _shingles(t or "", shingle)
-            h = (sh * mul) ^ (sh >> np.uint64(31))
-            bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
-            v = (bits * 2 - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for bpos in np.nonzero(v > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(bpos)
-            out[i] = np.int64(sig)
-        return pd.Series(out)
+        bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        v = np.add.reduceat(bits, starts, axis=0)
+        pos = (v > 0).astype(np.uint64)
+        sig = (pos << bit_idx[None, :]).sum(axis=1, dtype=np.uint64)
+        return pd.Series(sig.astype(np.int64))
 
     return _sh
 

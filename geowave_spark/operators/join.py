@@ -46,12 +46,7 @@ from ..encode import (
     point_cell_at_tier_udf,
     point_cell_udf,
 )
-from ..geom import (
-    pad_rings,
-    parse_wkt,
-    points_in_polygons_batch,
-    points_polygons_dist2_batch,
-)
+from ..geom import parse_wkt  # noqa: F401  (re-export for callers)
 from ..sfc import DEFAULT_MAX_DUPLICATES, JOIN_MAX_DUPLICATES, TieredStrategy
 
 # Above this many polygon rows the build side no longer collects/broadcasts;
@@ -336,8 +331,20 @@ def haversine_distance_join(
     )
     phi_worst = F.least(F.abs(F.col("_rlat")) + F.lit(dlat), F.lit(89.9))
     polar = (F.abs(F.col("_rlat")) + F.lit(dlat)) >= F.lit(89.9)
+    # exact lon-separation bound: Δλ = 2·asin(sin(d/2R)/cos φ) — the linear
+    # Δlat/cos φ underestimates it by up to ~0.007° at r=500 km, φ=60°, so
+    # boundary pairs in that sliver could be missed (round-2 ADVICE); the
+    # asin form is a true upper bound and still pure Catalyst.
     dlon = F.when(polar, F.lit(180.0)).otherwise(
-        F.lit(dlat) / F.cos(F.radians(phi_worst))
+        F.degrees(
+            2.0
+            * F.asin(
+                F.least(
+                    F.lit(1.0),
+                    F.sin(F.radians(F.lit(dlat)) / 2) / F.cos(F.radians(phi_worst)),
+                )
+            )
+        )
     )
     r = r.withColumn("_dlon", dlon)
     minx = F.col("_rlon") - F.col("_dlon")
@@ -416,17 +423,22 @@ def _local_grid_polygon_join(
     specialization of the reference's TieredSpatialJoin; its cogrouped
     shuffle plan only wins when *both* sides are too big to broadcast.
 
-    ``radius=None`` ⇒ boundary-inclusive point-in-polygon; otherwise
-    within-distance (GeomWithinDistance semantics, buffered grid).
+    ``radius=None`` ⇒ boundary-inclusive point-in-geometry (containment
+    for closed rings, exact on-segment for polylines); otherwise
+    within-distance (GeomWithinDistance semantics, buffered grid).  The
+    build side takes ANY WKT kind — POINT / LINESTRING / POLYGON /
+    MULTI\\* — via the kind-aware :class:`LocalGeomGrid`, covering the
+    reference's point × line flagship fixture
+    (GeoWaveSparkSpatialJoinIT.java:111-172).
     """
-    from ..geom import LocalPolygonGrid
+    from ..geom import LocalGeomGrid, parse_wkt_multi
 
     spark = points.sparkSession
     rows = polygons.select(polygon_id, wkt).collect()
     ids = [r[0] for r in rows]
-    polys = [parse_wkt(r[1])[1] for r in rows]
+    geoms = [parse_wkt_multi(r[1]) for r in rows]
     grid_bc = spark.sparkContext.broadcast(
-        LocalPolygonGrid(ids, polys, buffer=radius or 0.0)
+        LocalGeomGrid(ids, geoms, buffer=radius or 0.0)
     )
     r2 = None if radius is None else radius * radius
 
@@ -450,10 +462,9 @@ def _local_grid_polygon_join(
             rowrep, codes = g.candidates(px, py)
             if len(rowrep):
                 if r2 is None:
-                    m = points_in_polygons_batch(px[rowrep], py[rowrep], codes, g.padded)
+                    m = g.intersects(px[rowrep], py[rowrep], codes)
                 else:
-                    d2 = points_polygons_dist2_batch(px[rowrep], py[rowrep], codes, g.padded)
-                    m = d2 <= r2
+                    m = g.dist2(px[rowrep], py[rowrep], codes) <= r2
             else:
                 m = np.zeros(0, dtype=bool)
             yield pd.DataFrame(
@@ -470,24 +481,33 @@ def _pair_match_udf(radius: float | None):
     """Pandas UDF: (lon, lat, wkt) → does the exact predicate hold?
 
     Runs after the (tier, cell) equi-join of the shuffle plan.  Each Arrow
-    batch factorizes its WKT values, parses each distinct polygon once and
+    batch factorizes its WKT values, parses each distinct geometry once and
     evaluates the whole batch in one vectorized pass — candidate pairs of
-    the same polygon cluster in a batch because the join key is its cell.
+    the same geometry cluster in a batch because the join key is its cell.
+    Kind-aware: polylines keep open-segment distances, closed rings keep
+    containment.
     """
     r2 = None if radius is None else radius * radius
 
     @F.pandas_udf("boolean")
     def _m(lon: pd.Series, lat: pd.Series, wkt: pd.Series) -> pd.Series:
+        from ..geom import (
+            GeomBatch,
+            parse_wkt_multi,
+            points_geoms_dist2_batch,
+            points_intersect_geoms_batch,
+        )
+
         px = lon.to_numpy(np.float64)
         py = lat.to_numpy(np.float64)
         codes, uniq = pd.factorize(wkt)
         if not len(uniq):
             return pd.Series(np.zeros(0, dtype=bool))
-        padded = pad_rings([parse_wkt(w)[1] for w in uniq])
+        gb = GeomBatch([parse_wkt_multi(w) for w in uniq])
         if r2 is None:
-            m = points_in_polygons_batch(px, py, codes, padded)
+            m = points_intersect_geoms_batch(px, py, codes, gb)
         else:
-            m = points_polygons_dist2_batch(px, py, codes, padded) <= r2
+            m = points_geoms_dist2_batch(px, py, codes, gb) <= r2
         return pd.Series(m)
 
     return _m
@@ -647,3 +667,138 @@ def polygon_distance_join(
     return _local_grid_polygon_join(
         points, polygons, point_id, polygon_id, lon, lat, wkt, radius=radius
     )
+
+
+# The kind-aware grid/kernels make the "polygon" joins correct for ANY WKT
+# build side (LINESTRING / MULTI* included) — export the honest names.
+# ``geometry_distance_join`` is the reference's hail × tornado_tracks
+# flagship shape (point × line GeomWithinDistance,
+# GeoWaveSparkSpatialJoinIT.java:111-172).
+geometry_distance_join = polygon_distance_join
+geometry_intersects_join = point_in_polygon_join
+
+
+def geom_pair_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_wkt: str = "wkt",
+    right_wkt: str = "wkt",
+    radius: float | None = None,
+    strategy: TieredStrategy = DEFAULT_STRATEGY,
+    max_duplicates: int = JOIN_MAX_DUPLICATES,
+) -> DataFrame:
+    """Extended-geometry × extended-geometry join (polygon×polygon,
+    line×polygon, …): INTERSECTS when ``radius`` is None, else
+    within-distance — TieredSpatialJoin's general case
+    (TieredSpatialJoin.java:76-551 accepts arbitrary JTS geometry pairs).
+
+    Plan: both sides cell-explode (build side at its natural tiers with
+    trimIndexIds pruning; probe side re-covered at each distinct build
+    tier), one shuffled hash equi-join on (tier, cell), exact kind-aware
+    pair predicate, dropDuplicates (a pair CAN meet in several cells here
+    because both sides span cell ranges — the reference's reduceByKey
+    dedupe is genuinely needed, TieredSpatialJoin.java:349).
+
+    Scale: shuffle volume is |left|·dup + |right|·dup·|tiers| rows of
+    (id, WKT); no driver geometry collect; the exact stage factorizes the
+    build WKT per Arrow batch so each distinct geometry parses once per
+    batch.
+    """
+    buffer = radius or 0.0
+    build = explode_polygon_cells(
+        right.select(F.col(right_id).alias("_gid"), F.col(right_wkt).alias("_gwkt")),
+        "_gwkt",
+        keep=["_gid", "_gwkt"],
+        strategy=strategy,
+        max_duplicates=max_duplicates,
+        buffer=buffer,
+    )
+    tiers = distinct_polygon_tiers(
+        right, right_wkt, strategy, max_duplicates=max_duplicates, buffer=buffer
+    )
+    probe_src = left.select(
+        F.col(left_id).alias("_pid"), F.col(left_wkt).alias("_pwkt")
+    )
+    probe = None
+    for t in tiers:
+        # cover the probe envelope with cells at this build tier (unbuffered:
+        # only one side of a within-distance join needs the buffer,
+        # TieredSpatialJoin.java:146-166)
+        part = _explode_wkt_envelope_cells(probe_src, "_pwkt", ["_pid", "_pwkt"], strategy, t)
+        probe = part if probe is None else probe.unionByName(part)
+    if probe is None:
+        return probe_src.select(
+            F.col("_pid").alias(left_id)
+        ).limit(0).crossJoin(right.select(F.col(right_id).alias(right_id)).limit(0))
+    return (
+        probe.join(build.hint("shuffle_hash"), ["tier", "cell"])
+        .where(_geom_pair_match_udf(radius)(F.col("_pwkt"), F.col("_gwkt")))
+        .select(F.col("_pid").alias(left_id), F.col("_gid").alias(right_id))
+        .dropDuplicates([left_id, right_id])
+    )
+
+
+def _explode_wkt_envelope_cells(
+    df: DataFrame, wkt_col: str, keep: list[str], strategy: TieredStrategy, tier: int
+) -> DataFrame:
+    """Explode each WKT row to the cells covering its envelope at one fixed
+    tier (flat mapInPandas, object-free Arrow exchange)."""
+    from pyspark.sql.types import IntegerType, LongType
+
+    src = df.select(*[F.col(c) for c in keep])
+    out_schema = StructType(
+        [src.schema[c] for c in keep]
+        + [StructField("tier", IntegerType()), StructField("cell", LongType())]
+    )
+
+    def _gen(batches):
+        from ..geom import parse_wkt_multi
+
+        for pdf in batches:
+            wkts = pdf[wkt_col]
+            env = np.empty((len(wkts), 4), dtype=np.float64)
+            for i, w in enumerate(wkts):
+                c = np.vstack(parse_wkt_multi(w)[1])
+                env[i] = (c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max())
+            row, cell = strategy.envelope_cells_at_tier(
+                env[:, 0], env[:, 1], env[:, 2], env[:, 3], tier
+            )
+            out = pdf.iloc[row].reset_index(drop=True)
+            out["tier"] = np.full(len(row), tier, dtype=np.int32)
+            out["cell"] = cell
+            yield out
+
+    return src.mapInPandas(_gen, out_schema)
+
+
+def _geom_pair_match_udf(radius: float | None):
+    """Pandas UDF: (wkt_a, wkt_b) → exact pair predicate for extended
+    geometries.  Factorizes both columns so each distinct geometry parses
+    once per batch; the pair evaluation itself is per-candidate (bounded by
+    the cell join's selectivity), each pair running the vectorized
+    vertex/edge kernels."""
+    r2 = 0.0 if radius is None else radius * radius
+
+    @F.pandas_udf("boolean")
+    def _m(wa: pd.Series, wb: pd.Series) -> pd.Series:
+        from ..geom import geom_is_closed, geoms_pair_dist2, parse_wkt_multi
+
+        cache: dict[str, tuple[str, list[np.ndarray]]] = {}
+
+        def p(w):
+            g = cache.get(w)
+            if g is None:
+                g = parse_wkt_multi(w)
+                cache[w] = g
+            return g
+
+        out = np.zeros(len(wa), dtype=bool)
+        for i, (x, y) in enumerate(zip(wa, wb)):
+            (ka, pa), (kb, pb) = p(x), p(y)
+            d2 = geoms_pair_dist2(pa, geom_is_closed(ka), pb, geom_is_closed(kb))
+            out[i] = d2 <= r2
+        return pd.Series(out)
+
+    return _m

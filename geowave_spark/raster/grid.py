@@ -20,7 +20,7 @@ never interpolates into data).  This module carries that generality:
   non-nodata sample wins, deterministic raster_id order — the
   reference's NoDataMergeStrategy), ``last``, ``min``, ``max``, ``mean``
   (running mean over non-nodata samples).  Strategies are an SPI: any
-  ``fn(acc, cur, acc_nodata_mask) -> acc`` registered in the dict.
+  ``fn(acc, cur, acc_nodata_mask, cur_nodata_mask) -> acc`` registered in the dict.
 """
 
 from __future__ import annotations
@@ -157,24 +157,32 @@ def tile_rasters(
 # ---- merge-strategy SPI ---------------------------------------------------
 
 
-def _merge_nodata(acc: np.ndarray, cur: np.ndarray, acc_nodata: np.ndarray) -> np.ndarray:
-    acc[acc_nodata] = cur[acc_nodata]
-    return acc
-
-
-def _merge_last(acc: np.ndarray, cur: np.ndarray, acc_nodata: np.ndarray) -> np.ndarray:
-    return cur.copy()
-
-
-def _merge_min(acc, cur, acc_nodata):
-    out = np.fmin(acc, cur)
+def _merge_min(acc, cur, acc_nodata, cur_nodata):
+    # mask BOTH sides' nodata: a sentinel nodata in the incoming tile
+    # (e.g. -9999) must not win fmin over valid accumulated data where
+    # tiles partially overlap (round-2 ADVICE) — only NaN nodata was safe
+    # before because fmin/fmax skip NaN
+    out = np.where(cur_nodata[:, :, None], acc, np.fmin(acc, cur))
     out[acc_nodata] = cur[acc_nodata]
     return out
 
 
-def _merge_max(acc, cur, acc_nodata):
-    out = np.fmax(acc, cur)
+def _merge_max(acc, cur, acc_nodata, cur_nodata):
+    out = np.where(cur_nodata[:, :, None], acc, np.fmax(acc, cur))
     out[acc_nodata] = cur[acc_nodata]
+    return out
+
+
+def _merge_nodata(acc, cur, acc_nodata, cur_nodata):
+    # fill acc's nodata only where cur is valid
+    fill = acc_nodata & ~cur_nodata
+    acc[fill] = cur[fill]
+    return acc
+
+
+def _merge_last(acc, cur, acc_nodata, cur_nodata):
+    out = acc.copy()
+    out[~cur_nodata] = cur[~cur_nodata]
     return out
 
 
@@ -231,7 +239,7 @@ def merge_raster_tiles(
             if acc is None:
                 acc = cur.copy()
             else:
-                acc = fn(acc, cur, spec.nodata_mask(acc))
+                acc = fn(acc, cur, spec.nodata_mask(acc), spec.nodata_mask(cur))
         return pd.DataFrame(
             {
                 "tier": [key[0]],

@@ -74,3 +74,38 @@ def regions_pdf(n: int, seed: int = SEED + 1) -> pd.DataFrame:
         wkt = "POLYGON ((" + ", ".join(f"{x:.9g} {y:.9g}" for x, y in closed) + "))"
         rows.append((f"reg{i:06d}", wkt, cats[i % 8]))
     return pd.DataFrame(rows, columns=["region_id", "wkt", "category"])
+
+
+def tracks_pdf(n: int, seed: int = SEED + 2, max_verts: int = 6) -> pd.DataFrame:
+    """`tornado_tracks`-style open polyline table: (track_id, wkt) with
+    LINESTRING WKT — the reference's point × line join fixture shape
+    (GeoWaveSparkSpatialJoinIT.java:182-196).  Random-walk polylines of
+    2..max_verts vertices, step lengths spanning 0.05°–5°, plus every 7th
+    row a MULTILINESTRING of two disjoint segments."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        cx = rng.uniform(-160, 160)
+        cy = rng.uniform(-75, 75)
+        nv = int(rng.integers(2, max_verts + 1))
+        step = 10 ** rng.uniform(-1.3, 0.7)
+        ang = rng.uniform(0, 2 * np.pi)
+        pts = [(cx, cy)]
+        for _ in range(nv - 1):
+            ang += rng.normal(0, 0.6)
+            cx = float(np.clip(cx + step * np.cos(ang), -180, 180))
+            cy = float(np.clip(cy + step * np.sin(ang), -90, 90))
+            pts.append((cx, cy))
+        if i % 7 == 3:
+            half = max(2, len(pts) // 2)
+            a = ", ".join(f"{x:.9g} {y:.9g}" for x, y in pts[:half])
+            ox = float(np.clip(pts[0][0] + 3 * step, -180, 180))
+            b = ", ".join(
+                f"{np.clip(x - pts[0][0] + ox, -180, 180):.9g} {y:.9g}"
+                for x, y in pts[:half]
+            )
+            wkt = f"MULTILINESTRING (({a}), ({b}))"
+        else:
+            wkt = "LINESTRING (" + ", ".join(f"{x:.9g} {y:.9g}" for x, y in pts) + ")"
+        rows.append((f"trk{i:06d}", wkt))
+    return pd.DataFrame(rows, columns=["track_id", "wkt"])

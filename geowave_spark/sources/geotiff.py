@@ -94,8 +94,22 @@ def parse_geotiff(raw: bytes) -> tuple[np.ndarray, dict]:
     if 33922 in tags:
         tp = tags[33922]
         meta["tiepoint"] = tp[:6]
-        # model position of raster (0,0) — top-left corner
-        meta["origin"] = (tp[3], tp[4])
+        # ModelTiepoint maps raster (I, J) = (tp[0], tp[1]) to model
+        # (X, Y) = (tp[3], tp[4]); the model position of raster (0, 0) is
+        # therefore offset by the tiepoint's raster coords × pixel scale
+        # (round-2 ADVICE: a non-(0,0) anchor was silently mis-georeferenced).
+        # GeoTIFF model Y decreases with raster row for north-up rasters,
+        # but this engine's writer/reader convention is row-0 = miny (Y
+        # increases with row), so the J offset subtracts like I.
+        if tp[0] != 0.0 or tp[1] != 0.0:
+            if 33550 not in tags:
+                raise ValueError(
+                    "GeoTIFF tiepoint anchored off (0,0) needs ModelPixelScale"
+                )
+            sx, sy = tags[33550][0], tags[33550][1]
+            meta["origin"] = (tp[3] - tp[0] * sx, tp[4] - tp[1] * sy)
+        else:
+            meta["origin"] = (tp[3], tp[4])
     return data, meta
 
 

@@ -99,6 +99,74 @@ def read_statistics(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(f"{path}/stats")
 
 
+def update_binned_statistics(
+    df: DataFrame,
+    path: str,
+    bin_col,
+    fields: list[str],
+    bin_name: str = "bin",
+) -> None:
+    """Append per-(bin, field) mergeable stat partials to
+    ``{path}/stats_binned`` — the reference's binned statistics
+    (core/store/.../statistics/binning/SpatialSimpleFeatureBinningStrategy
+    + SpatialBinningType H3/S2/GeoHash): any statistic persisted per
+    spatial cell, so per-cell counts / ranges / NDV answer from the store
+    with no data scan.
+
+    ``bin_col`` is any Column — typically one of the engine's cell UDFs
+    (``encode.geohash_udf``, ``s2_cell_udf``, ``h3_udf``, or a Hilbert
+    ``point_cell_udf``) — evaluated once per row in the same distributed
+    aggregation pass as the partials.  Incremental: each batch appends its
+    partials; readers merge across appends (counts/sums add, min/max
+    fold, HLL unions), so a resumed ingest never recomputes finished
+    batches.
+    """
+    base = df.withColumn("_bin", bin_col.cast("string"))
+    for field in fields:
+        c = F.col(field)
+        num = c.try_cast("double")
+        part = base.groupBy(F.col("_bin").alias(bin_name)).agg(
+            F.lit(field).alias("field"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).alias("nulls"),
+            F.min(num).alias("min"),
+            F.max(num).alias("max"),
+            F.sum(num).alias("sum"),
+            F.hll_sketch_agg(c.cast("string")).alias("hll"),
+        )
+        part.write.mode("append").parquet(f"{path}/stats_binned")
+
+
+def binned_statistics(
+    spark: SparkSession, path: str, field: str, bin_name: str = "bin"
+) -> DataFrame:
+    """Per-bin merged statistics for one field — one distributed groupBy
+    over the PARTIALS (O(bins × batches) rows, never the data):
+    (bin, count, nulls, min, max, sum, ndv_estimate)."""
+    sdf = spark.read.parquet(f"{path}/stats_binned").where(F.col("field") == field)
+    return sdf.groupBy(bin_name).agg(
+        F.sum("n").alias("count"),
+        F.sum("nulls").alias("nulls"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+        F.sum("sum").alias("sum"),
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("ndv_estimate"),
+    )
+
+
+def binned_optimal_count(
+    spark: SparkSession, path: str, field: str, bin_name: str = "bin"
+) -> DataFrame:
+    """Per-bin COUNT from the store alone (OptimalCountAggregation over a
+    binning strategy) → (bin, count)."""
+    return (
+        spark.read.parquet(f"{path}/stats_binned")
+        .where(F.col("field") == field)
+        .groupBy(bin_name)
+        .agg(F.sum("n").alias("count"))
+    )
+
+
 def merged_statistics(spark: SparkSession, path: str, field: str) -> dict:
     """Fold partition partials for one field — no data scan.
 

@@ -71,69 +71,129 @@ def _point_lonlat(df: DataFrame, geom: str) -> DataFrame:
     )
 
 
+_KINDS = {
+    "POINT", "LINESTRING", "POLYGON",
+    "MULTIPOINT", "MULTILINESTRING", "MULTIPOLYGON",
+}
+
+
 def _indexed_pairs(
     spark: SparkSession, ta: DataFrame, ga: str, tb: DataFrame, gb: str, fn: str, radius: float | None
-) -> DataFrame:
-    """(left _gwid, right _gwid) pairs through the indexed join."""
+) -> DataFrame | None:
+    """(left _gwid, right _gwid) pairs through the indexed join, or None
+    when no indexed plan applies (caller falls back to plain spark.sql —
+    the module's 'never wrong, only un-accelerated' contract).
+
+    The pair set only needs to be a SUPERSET of the predicate's true
+    pairs restricted per relation: the rewritten SQL re-applies the exact
+    predicate over the pruned views, so e.g. ``st_contains`` between two
+    polygon relations can prune with the (cheaper, superset) INTERSECTS
+    pair join.
+    """
     from .operators.join import (
         distance_join,
-        point_in_polygon_join,
-        polygon_distance_join,
+        geom_pair_join,
+        geometry_distance_join,
+        geometry_intersects_join,
     )
 
     ka, kb = _geom_kind(ta, ga), _geom_kind(tb, gb)
+    if ka not in _KINDS or kb not in _KINDS:
+        return None  # unrecognized geometry text — do not guess (ADVICE r2)
     a = _with_rowid(ta, "_aid")
     b = _with_rowid(tb, "_bid")
     fn = fn.lower()
     if fn == "st_within_distance":
         if radius is None:
-            raise ValueError("st_within_distance needs a radius literal")
+            return None  # non-literal radius — fall back
         if ka == "POINT" and kb == "POINT":
             return distance_join(
                 _point_lonlat(a, ga), _point_lonlat(b, gb), radius,
                 "_aid", "_bid", "_gwlon", "_gwlat", "_gwlon", "_gwlat",
             )
         if ka == "POINT":
-            return polygon_distance_join(
+            return geometry_distance_join(
                 _point_lonlat(a, ga), b, radius, "_aid", "_bid",
                 lon="_gwlon", lat="_gwlat", wkt=gb,
             )
-        return polygon_distance_join(
-            _point_lonlat(b, gb), a, radius, "_bid", "_aid",
-            lon="_gwlon", lat="_gwlat", wkt=ga,
-        ).select("_aid", "_bid")
-    # containment/intersection family: point-in-polygon orientation
+        if kb == "POINT":
+            return geometry_distance_join(
+                _point_lonlat(b, gb), a, radius, "_bid", "_aid",
+                lon="_gwlon", lat="_gwlat", wkt=ga,
+            ).select("_aid", "_bid")
+        # extended × extended (e.g. polygon×polygon) — tiered pair join
+        return geom_pair_join(
+            a, b, "_aid", "_bid", left_wkt=ga, right_wkt=gb, radius=radius
+        )
+    # containment / intersection family
+    if ka != "POINT" and kb != "POINT":
+        # superset prune: any contains/within/intersects pair intersects
+        return geom_pair_join(a, b, "_aid", "_bid", left_wkt=ga, right_wkt=gb)
     if fn == "st_contains" or (fn == "st_intersects" and ka != "POINT"):
-        # a's polygons contain b's points
-        return point_in_polygon_join(
+        # a's geometries contain/intersect b's points
+        return geometry_intersects_join(
             _point_lonlat(b, gb), a, "_bid", "_aid", lon="_gwlon", lat="_gwlat", wkt=ga
         ).select("_aid", "_bid")
-    # st_within / st_intersects with a's points against b's polygons
-    return point_in_polygon_join(
-        _point_lonlat(a, ga), b, "_aid", "_bid", lon="_gwlon", lat="_gwlat", wkt=gb
-    )
+    if fn in ("st_within", "st_intersects") and kb != "POINT":
+        return geometry_intersects_join(
+            _point_lonlat(a, ga), b, "_aid", "_bid", lon="_gwlon", lat="_gwlat", wkt=gb
+        )
+    # point×point containment family: degenerate — let Spark evaluate it
+    return None
+
+
+_WHERE = re.compile(
+    r"\bWHERE\b(?P<body>.*?)(?:\bGROUP\s+BY\b|\bORDER\s+BY\b|\bHAVING\b|\bLIMIT\b|$)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _injection_safe(sql: str) -> bool:
+    """The reference only injects when the WHERE clause is exactly one
+    spatial predicate, optionally AND-ed with other conjuncts
+    (SqlQueryRunner.java:164-245 extracts a lone predicate and refuses
+    compound expressions).  Semi-joining the views is only sound when the
+    spatial predicate is a top-level conjunct: under OR/NOT, rows
+    satisfying only the other branch would be pruned away — silently
+    wrong row sets (round-2 verdict #1).  Conservative text check: refuse
+    whenever the WHERE clause contains OR / NOT / CASE, or more than one
+    spatial predicate appears in the query."""
+    if len(_PRED.findall(sql)) != 1:
+        return False
+    mw = _WHERE.search(sql)
+    if not mw:
+        # predicate sits in an ON clause; same conjunct rule applies to
+        # the whole ON/WHERE text
+        body = sql
+    else:
+        body = mw.group("body")
+    return not re.search(r"\bOR\b|\bNOT\b|\bCASE\b", body, re.IGNORECASE)
 
 
 def run_spatial_sql(spark: SparkSession, sql: str) -> DataFrame:
     """Execute SQL; if it contains one supported spatial-join predicate
-    between the two FROM relations, inject the indexed join first."""
+    between the two FROM relations — as a top-level conjunct — inject the
+    indexed join first.  Any doubt ⇒ plain ``spark.sql`` (never wrong,
+    only un-accelerated)."""
     from .functions.registry import register_all
 
     register_all(spark)
     mp = _PRED.search(sql)
     mf = _FROM.search(sql)
-    if not mp or not mf:
+    if not mp or not mf or not _injection_safe(sql):
         return spark.sql(sql)
     t1, a1 = mf.group("t1"), mf.group("a1") or mf.group("t1")
     t2, a2 = mf.group("t2"), mf.group("a2") or mf.group("t2")
     pa, pb = mp.group("a"), mp.group("b")
-    if {pa, pb} != {a1, a2}:
+    if {pa, pb} != {a1, a2} or a1 == a2:
         return spark.sql(sql)  # predicate not over the two FROM relations
     # orient (a, b) of the predicate onto (t1, t2)
     ta_name, tb_name = (t1, t2) if pa == a1 else (t2, t1)
     ta, tb = spark.table(ta_name), spark.table(tb_name)
     radius = float(mp.group("r")) if mp.group("r") else None
     pairs = _indexed_pairs(spark, ta, mp.group("ag"), tb, mp.group("bg"), mp.group("fn"), radius)
+    if pairs is None:
+        return spark.sql(sql)
     pairs = pairs.persist()
     a_sub = _with_rowid(ta, "_aid").join(
         pairs.select("_aid").distinct(), "_aid", "left_semi"
@@ -141,16 +201,19 @@ def run_spatial_sql(spark: SparkSession, sql: str) -> DataFrame:
     b_sub = _with_rowid(tb, "_bid").join(
         pairs.select("_bid").distinct(), "_bid", "left_semi"
     ).drop("_bid")
-    a_view, b_view = f"{ta_name}__gw_injected", f"{tb_name}__gw_injected"
-    a_sub.createOrReplaceTempView(a_view)
-    b_sub.createOrReplaceTempView(b_view)
+    # per-SIDE view names: a self-join (FROM t a, t b) otherwise collapses
+    # both aliases onto one view and drops rows for asymmetric predicates
+    # (round-2 ADVICE) — suffix by predicate side, keyed to the alias
+    side_of = {pa: "a", pb: "b"}
+    v1 = f"{t1}__gw_injected_{side_of[a1]}"
+    v2 = f"{t2}__gw_injected_{side_of[a2]}"
+    (a_sub if pa == a1 else b_sub).createOrReplaceTempView(v1)
+    (b_sub if pa == a1 else a_sub).createOrReplaceTempView(v2)
     # rewrite ONLY the FROM clause; the (explicit or self-named) aliases
     # keep every other reference in the query valid
     def _sub(m: re.Match) -> str:
         sep = " JOIN " if re.search(r"\bjoin\b", m.group(0), re.IGNORECASE) else ", "
-        return (
-            f"FROM {m.group('t1')}__gw_injected {a1}{sep}{m.group('t2')}__gw_injected {a2}"
-        )
+        return f"FROM {v1} {a1}{sep}{v2} {a2}"
 
     rewritten = _FROM.sub(_sub, sql, count=1)
     return spark.sql(rewritten)

@@ -138,6 +138,33 @@ class TestGeoTiff:
         assert meta["origin"] == (-10.5, 42.25)
         assert meta["pixel_scale"][0] == 0.01
 
+    def test_nonzero_tiepoint_anchor(self, tmp_path):
+        """ModelTiepoint anchored at raster (I, J) ≠ (0, 0): the recovered
+        raster-(0,0) origin must subtract (I·scale_x, J·scale_y) — a
+        non-origin anchor was silently mis-georeferenced (round-2 ADVICE).
+        Built by patching the writer's tiepoint doubles in place (the
+        writer always emits a (0,0) anchor, so round-trips can't catch it)."""
+        import struct
+
+        from geowave_spark.sources.geotiff import parse_geotiff, write_geotiff
+
+        arr = (np.arange(4 * 5) % 7).astype(np.float32).reshape(4, 5, 1)
+        p = str(tmp_path / "tp.tif")
+        res = 0.25
+        write_geotiff(p, arr, origin=(10.0, 20.0), res=res)
+        raw = bytearray(open(p, "rb").read())
+        # the writer's tiepoint payload is (0,0,0, 10.0, 20.0, 0.0); move
+        # the anchor to raster (2, 3) and shift the model point to match:
+        # model(2,3) = (10 + 2*res, 20 + 3*res)
+        old = struct.pack("<6d", 0.0, 0.0, 0.0, 10.0, 20.0, 0.0)
+        new = struct.pack("<6d", 2.0, 3.0, 0.0, 10.0 + 2 * res, 20.0 + 3 * res, 0.0)
+        i = raw.find(old)
+        assert i >= 0, "writer tiepoint payload not found"
+        raw[i : i + len(old)] = new
+        got, meta = parse_geotiff(bytes(raw))
+        assert np.array_equal(got, arr)
+        assert meta["origin"] == (10.0, 20.0)
+
     def test_round_trip_uint16_bigendian_reject(self, tmp_path):
         from geowave_spark.sources.geotiff import parse_geotiff, write_geotiff
 

@@ -332,6 +332,59 @@ class TestGeneralRaster:
         want[2:] = 2.0  # b fills only a's nodata rows
         assert np.array_equal(got, want) and out["n_sources"] == 2
 
+    def test_merge_min_max_sentinel_nodata(self, spark, spec):
+        """Partially-overlapping tiles with a LOW sentinel nodata: 'min'
+        must not let the sentinel overwrite valid data (round-2 ADVICE —
+        fmin alone picks -9999 over real samples), and 'max' must not let
+        a high sentinel win symmetrically."""
+        import pandas as pd
+
+        from geowave_spark.raster.grid import (
+            GRID_TILE_SCHEMA,
+            RasterSpec,
+            merge_raster_tiles,
+        )
+
+        ts = 4
+        lo = RasterSpec(bands=1, dtype="float32", nodata=-9999.0)
+        a = np.full((ts, ts, 1), -9999.0, dtype=np.float32)
+        a[:, :2] = 5.0  # valid left half
+        b = np.full((ts, ts, 1), -9999.0, dtype=np.float32)
+        b[:, 1:3] = 7.0  # valid middle (overlaps column 1)
+        pdf = pd.DataFrame(
+            [("a", 5, 99, a.tobytes()), ("b", 5, 99, b.tobytes())],
+            columns=[f.name for f in GRID_TILE_SCHEMA.fields],
+        )
+        tiles = spark.createDataFrame(pdf, GRID_TILE_SCHEMA)
+        got = lo.to_array(
+            merge_raster_tiles(tiles, lo, ts, strategy="min").collect()[0]["tile"], ts
+        )
+        want = np.full((ts, ts, 1), -9999.0, dtype=np.float32)
+        want[:, 0] = 5.0        # a only
+        want[:, 1] = 5.0        # overlap: min(5, 7)
+        want[:, 2] = 7.0        # b only
+        assert np.array_equal(got, want)
+        hi = RasterSpec(bands=1, dtype="float32", nodata=99999.0)
+        a2 = np.full((ts, ts, 1), 99999.0, dtype=np.float32)
+        a2[:, :2] = 5.0
+        b2 = np.full((ts, ts, 1), 99999.0, dtype=np.float32)
+        b2[:, 1:3] = 7.0
+        pdf2 = pd.DataFrame(
+            [("a", 5, 99, a2.tobytes()), ("b", 5, 99, b2.tobytes())],
+            columns=[f.name for f in GRID_TILE_SCHEMA.fields],
+        )
+        got2 = hi.to_array(
+            merge_raster_tiles(
+                spark.createDataFrame(pdf2, GRID_TILE_SCHEMA), hi, ts, strategy="max"
+            ).collect()[0]["tile"],
+            ts,
+        )
+        want2 = np.full((ts, ts, 1), 99999.0, dtype=np.float32)
+        want2[:, 0] = 5.0
+        want2[:, 1] = 7.0       # overlap: max(5, 7)
+        want2[:, 2] = 7.0
+        assert np.array_equal(got2, want2)
+
 
 def test_tile_pyramid_levels(spark):
     """build_pyramid emits the full-resolution tier plus coarser levels

@@ -115,3 +115,76 @@ class TestInjection:
         got = {tuple(r) for r in run_spatial_sql(spark, sql).collect()}
         want = {tuple(r) for r in spark.sql(sql).collect()}
         assert got == want
+
+
+class TestInjectionGuards:
+    """Round-2 verdict #1 / ADVICE: compound WHERE, non-POINT pairs and
+    self-joins must never change the row set."""
+
+    def test_or_predicate_equals_uninjected(self, spark, views):
+        """Spatial predicate under OR: rows satisfying only the other
+        branch must survive (the round-2 bug pruned them)."""
+        sql = (
+            "SELECT a.pid, b.oid FROM sj_points a, sj_other b "
+            "WHERE st_within_distance(a.geom, b.geom, 1.0) OR a.kind = 'k2'"
+        )
+        got = {tuple(r) for r in run_spatial_sql(spark, sql).collect()}
+        want = {tuple(r) for r in spark.sql(sql).collect()}
+        assert got == want
+        # the OR branch really contributes rows beyond the spatial hits
+        spatial_only = {
+            tuple(r)
+            for r in spark.sql(
+                "SELECT a.pid, b.oid FROM sj_points a, sj_other b "
+                "WHERE st_within_distance(a.geom, b.geom, 1.0)"
+            ).collect()
+        }
+        assert len(want) > len(spatial_only)
+
+    def test_not_predicate_equals_uninjected(self, spark, views):
+        sql = (
+            "SELECT a.pid, r.rid FROM sj_points a, sj_regions r "
+            "WHERE NOT st_within(a.geom, r.geom) AND a.kind = 'k0'"
+        )
+        got = {tuple(r) for r in run_spatial_sql(spark, sql).collect()}
+        want = {tuple(r) for r in spark.sql(sql).collect()}
+        assert got == want and len(want) > 10
+
+    def test_polygon_polygon_injection_matches_direct(self, spark, views):
+        """Round-2 ADVICE: neither side POINT used to inject empty views;
+        now it routes through the tiered pair join — and must still equal
+        direct evaluation."""
+        sql = (
+            "SELECT x.rid AS xr, y.rid AS yr FROM sj_regions x, sj_regions2 y "
+            "WHERE st_within_distance(x.geom, y.geom, 2.0)"
+        )
+        spark.table("sj_regions").withColumnRenamed("rid", "rid").limit(25).createOrReplaceTempView("sj_regions2")
+        got = {tuple(r) for r in run_spatial_sql(spark, sql).collect()}
+        want = {tuple(r) for r in spark.sql(sql).collect()}
+        assert got == want and len(want) > 3
+
+    def test_self_join_asymmetric_contains(self, spark, views):
+        """FROM t a, t b with an asymmetric predicate: per-side injected
+        views (round-2 ADVICE — one shared view dropped rows)."""
+        spark.sql("SELECT * FROM sj_regions").createOrReplaceTempView("sj_mixed")
+        sql = (
+            "SELECT a.rid AS ar, b.rid AS br FROM sj_mixed a, sj_mixed b "
+            "WHERE st_intersects(a.geom, b.geom) AND a.rid < b.rid"
+        )
+        got = {tuple(r) for r in run_spatial_sql(spark, sql).collect()}
+        want = {tuple(r) for r in spark.sql(sql).collect()}
+        assert got == want and len(want) > 0
+
+    def test_unrecognized_geometry_kind_returns_none(self, spark, views):
+        """Unit guard: _indexed_pairs refuses to guess on unknown WKT
+        kinds (injection would silently return empty views)."""
+        from geowave_spark.sql_join import _indexed_pairs
+
+        weird = spark.sql(
+            "SELECT pid, 'CIRCULARSTRING (0 0, 1 1, 2 0)' AS geom FROM sj_points LIMIT 5"
+        )
+        other = spark.table("sj_other")
+        assert (
+            _indexed_pairs(spark, weird, "geom", other, "geom", "st_within_distance", 1.0)
+            is None
+        )

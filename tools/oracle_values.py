@@ -1,0 +1,307 @@
+"""Independent expected-output computation for the non-SQL-expressible
+driver queries (round-3 verdict #3: oracle the rows-only rows).
+
+Each function recomputes a query's expected result with a FRESH numpy
+implementation — no imports from ``geowave_spark`` — reading the same
+parquet inputs (or regenerating the same deterministic synthetic media).
+``__spark_entry__.oracle_sql`` embeds the rows as a DuckDB ``VALUES``
+relation, so the driver's value-hash gate compares the Spark pipeline
+against this second implementation, exactly like the generated-SQL
+Hilbert/S2 state machines mirror the numpy SFCs.
+
+Pinned to the driver's sf0.01 compare (TESTDATA.md); sizes that depend on
+the scale directory mirror ``__spark_entry__``'s "0.1 in sf_dir" rule.
+
+Rounding: Spark's ``round()`` on DoubleType goes through
+``BigDecimal.valueOf`` (shortest decimal string, HALF_UP); ``_round6``
+reproduces that exactly.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+
+MERSENNE = (1 << 61) - 1
+
+
+def _round6(x: float) -> float:
+    return float(Decimal(repr(float(x))).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def _docs(sf_dir: str):
+    import duckdb
+
+    return duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+
+
+def _shingles(text: str, n: int) -> np.ndarray:
+    """Character n-gram hashes — same public spec as the engine
+    (polynomial over utf-8 bytes with FNV prime powers, FNV-1a fallback
+    for short texts), written independently."""
+    b = np.frombuffer((text or "").encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(b) < n:
+        h = np.uint64(1469598103934665603)
+        for v in b.tolist():
+            h = (h ^ np.uint64(v)) * np.uint64(1099511628211)
+        return np.array([h], dtype=np.uint64)
+    prime = np.uint64(1099511628211)
+    acc = np.zeros(len(b) - n + 1, dtype=np.uint64)
+    p = np.uint64(1)
+    with np.errstate(over="ignore"):  # uint64 wrap is the hash semantics
+        for j in range(n):
+            acc = acc + b[j : len(b) - n + 1 + j].astype(np.uint64) * p
+            p = p * prime
+    return np.unique(acc)
+
+
+def minhash_pair_rows(
+    sf_dir: str,
+    threshold: float = 0.6,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> list[tuple[int, int, float]]:
+    """(id_a, id_b, jaccard) pairs the MinHash-LSH pipeline must emit:
+    band-slice equality (the engine buckets on xxhash64 of the slice —
+    equal up to 2^-64 collisions), estimated-jaccard prefilter at
+    threshold/2, exact shingle-set Jaccard ≥ threshold."""
+    docs = _docs(sf_dir)
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE, num_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, MERSENNE, num_hashes, dtype=np.int64).astype(np.uint64)
+    ids = [d[0] for d in docs]
+    sh = [_shingles(d[1], shingle_n) for d in docs]
+    sigs = np.empty((len(docs), num_hashes), dtype=np.uint64)
+    for i, s in enumerate(sh):
+        sigs[i] = ((s[:, None] * a[None, :] + b[None, :]) % np.uint64(MERSENNE)).min(axis=0)
+    rpb = num_hashes // bands
+    cand = set()
+    for band in range(bands):
+        sl = sigs[:, band * rpb : (band + 1) * rpb]
+        # group identical slices
+        order = np.lexsort(sl.T[::-1])
+        sl_sorted = sl[order]
+        new = np.ones(len(order), dtype=bool)
+        new[1:] = (sl_sorted[1:] != sl_sorted[:-1]).any(axis=1)
+        gid = np.cumsum(new) - 1
+        for g in np.unique(gid):
+            members = order[gid == g]
+            if len(members) > 1:
+                for i in range(len(members)):
+                    for j in range(i + 1, len(members)):
+                        x, y = members[i], members[j]
+                        ia, ib = ids[x], ids[y]
+                        cand.add((x, y) if ia < ib else (y, x))
+    out = []
+    for x, y in sorted(cand):
+        est = float((sigs[x] == sigs[y]).sum()) / num_hashes
+        if est < threshold * 0.5:
+            continue
+        sa, sb = sh[x], sh[y]
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        denom = sa.size + sb.size - inter
+        j = inter / denom if denom else 1.0
+        if j >= threshold:
+            out.append((ids[x], ids[y], _round6(j)))
+    return out
+
+
+def simhash_pair_rows(
+    sf_dir: str, max_hamming: int = 4, shingle_n: int = 2
+) -> list[tuple[int, int, int]]:
+    """(id_a, id_b, hamming) via 64-bit sign-sum SimHash + pigeonhole
+    chunk agreement (chunks = max_hamming+1, width 64 // chunks)."""
+    docs = _docs(sf_dir)
+    ids = [d[0] for d in docs]
+    mul = np.uint64(0x9E3779B97F4A7C15)
+    bit_idx = np.arange(64, dtype=np.uint64)
+    sigs = np.empty(len(docs), dtype=np.uint64)
+    for i, (_, text) in enumerate(docs):
+        s = _shingles(text, shingle_n)
+        h = (s * mul) ^ (s >> np.uint64(31))
+        bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+        v = (bits * 2 - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for pos in np.nonzero(v > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(pos)
+        sigs[i] = sig
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    mask = np.uint64((1 << width) - 1)
+    cand = set()
+    for c in range(chunks):
+        key = (sigs >> np.uint64(c * width)) & mask
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        bounds = np.nonzero(np.diff(ks))[0] + 1
+        for grp in np.split(order, bounds):
+            if len(grp) > 1:
+                for i in range(len(grp)):
+                    for j in range(i + 1, len(grp)):
+                        x, y = grp[i], grp[j]
+                        cand.add((x, y) if ids[x] < ids[y] else (y, x))
+    out = []
+    for x, y in sorted(cand):
+        ham = int(bin(int(sigs[x]) ^ int(sigs[y])).count("1"))
+        if ham <= max_hamming:
+            out.append((ids[x], ids[y], ham))
+    return out
+
+
+def cosine_pair_rows(
+    sf_dir: str,
+    threshold: float = 0.4,
+    num_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> list[tuple[int, int, float]]:
+    """(id_a, id_b, sim) via random-hyperplane band LSH + exact cosine."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    # engine casts array<float> to array<double>: float32 → float64
+    X = np.array([np.asarray(r[1], dtype=np.float32) for r in rows]).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, X.shape[1]))
+    bits = (X @ planes.T > 0).astype(np.uint64)
+    per_band = num_planes // bands
+    w = np.uint64(1) << np.arange(per_band - 1, -1, -1, dtype=np.uint64)
+    cand = set()
+    for bnd in range(bands):
+        sig = (bits[:, bnd * per_band : (bnd + 1) * per_band] * w).sum(axis=1)
+        order = np.argsort(sig, kind="stable")
+        ks = sig[order]
+        bounds = np.nonzero(np.diff(ks))[0] + 1
+        for grp in np.split(order, bounds):
+            if len(grp) > 1:
+                for i in range(len(grp)):
+                    for j in range(i + 1, len(grp)):
+                        x, y = grp[i], grp[j]
+                        cand.add((x, y) if ids[x] < ids[y] else (y, x))
+    nrm = np.sqrt((X * X).sum(axis=1))
+    out = []
+    for x, y in sorted(cand):
+        sim = float(X[x] @ X[y] / (nrm[x] * nrm[y]))
+        if sim >= threshold:
+            out.append((ids[x], ids[y], _round6(sim)))
+    return out
+
+
+def audio_rows(n: int, sample_rate: int = 8000) -> list[tuple[str, float, float]]:
+    """(audio_id, duration_s, rms) regenerated straight from the synthesis
+    spec (sine + seeded noise, PCM16 quantization) — no engine decode."""
+    out = []
+    for i in range(n):
+        if i % 4 == 0:
+            continue  # mp3-coded rows are skipped by the feature pass
+        ns = 1000 + (i % 7) * 500
+        rng = np.random.default_rng(42 + i)
+        t = np.arange(ns) / sample_rate
+        freq = 100.0 + (i % 40) * 25.0
+        wave = 0.5 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(ns)
+        pcm = np.clip(wave * 32767, -32768, 32767).astype("<i2")
+        x = pcm.astype(np.float32) / 32768.0
+        out.append(
+            (
+                f"aud{i:08d}",
+                _round6(float(ns) / float(sample_rate)),
+                _round6(float(np.sqrt(np.mean(x * x)))),
+            )
+        )
+    return out
+
+
+def video_rows(n: int, every_n: int = 2, w: int = 16, h: int = 12) -> list[tuple[str, int, float]]:
+    """(video_id, frame_idx, mean_r) regenerated from the synthesis spec."""
+    out = []
+    for i in range(n):
+        if i % 3 == 0:
+            continue  # h264-coded rows skipped
+        nf = 4 + (i % 5) * 2
+        rng = np.random.default_rng(777 + i)
+        frames = (rng.integers(0, 256, size=(nf, h, w, 3))).astype(np.uint8)
+        frames = (frames * np.linspace(0.2, 1.0, nf)[:, None, None, None]).astype(np.uint8)
+        for fi in range(0, nf, every_n):
+            m = frames[fi].reshape(-1, 3).mean(axis=0)
+            out.append((f"vid{i:08d}", fi, float(Decimal(repr(float(m[0]))).quantize(Decimal("0.0001"), ROUND_HALF_UP))))
+    return out
+
+
+def dbscan_rows(
+    sf_dir: str, clon: str, clat: str, eps: float = 8.0, min_pts: int = 3
+) -> list[tuple[int, int]]:
+    """(cluster, n_points) per DBSCAN cluster — independent numpy
+    implementation: core = |N_eps| + 1 ≥ min_pts (closed ball), cluster
+    id = min core id of the core-connected component, border points join
+    the minimum neighboring cluster."""
+    import duckdb
+
+    pts = duckdb.sql(
+        f"SELECT c_custkey, {clon} AS lon, {clat} AS lat FROM "
+        f"'{sf_dir}/customer.parquet' ORDER BY c_custkey"
+    ).fetchall()
+    ids = np.array([p[0] for p in pts], dtype=np.int64)
+    xy = np.array([[p[1], p[2]] for p in pts])
+    n = len(ids)
+    d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(axis=2)
+    adj = (d2 <= eps * eps)
+    np.fill_diagonal(adj, False)
+    deg = adj.sum(axis=1)
+    core = deg + 1 >= min_pts
+    label = np.full(n, -1, dtype=np.int64)
+    visited = np.zeros(n, dtype=bool)
+    # BFS over core-core edges
+    for s in range(n):
+        if not core[s] or visited[s]:
+            continue
+        comp = [s]
+        visited[s] = True
+        stack = [s]
+        while stack:
+            u = stack.pop()
+            for v in np.nonzero(adj[u] & core)[0]:
+                if not visited[v]:
+                    visited[v] = True
+                    comp.append(v)
+                    stack.append(v)
+        cid = int(min(ids[c] for c in comp))
+        for c in comp:
+            label[c] = cid
+    # border points: min neighboring core's cluster
+    out_label = {}
+    for i in range(n):
+        if core[i]:
+            out_label[int(ids[i])] = int(label[i])
+        else:
+            nb = np.nonzero(adj[i] & core)[0]
+            if len(nb):
+                out_label[int(ids[i])] = int(min(label[v] for v in nb))
+    counts: dict[int, int] = {}
+    for _, c in out_label.items():
+        counts[c] = counts.get(c, 0) + 1
+    return sorted(counts.items())
+
+
+def values_sql(rows: list[tuple], cols: str) -> str:
+    """Embed rows as a DuckDB VALUES relation: cols like
+    "t(id_a, id_b, jaccard)"."""
+    if not rows:
+        return f"SELECT * FROM (VALUES (NULL)) {cols} WHERE 1 = 0"
+
+    def lit(v):
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, float):
+            return repr(v)
+        return str(v)
+
+    body = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    return f"SELECT * FROM (VALUES {body}) {cols}"
