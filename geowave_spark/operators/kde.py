@@ -69,18 +69,69 @@ def kde(
     # 2M points on a level-6 grid that is a 250× smaller fan-out
     base = base.groupBy("_px", "_py").agg(F.sum("_w0").alias("_w0"))
 
+    # Block-local smear: a flat crossJoin-then-global-agg would shuffle
+    # 49 rows per occupied base cell (22M rows at level 10 / 500k points —
+    # profiled as ~70% of the operator's executor time, and the part that
+    # stops scaling first because the exchange is bandwidth-bound, not
+    # CPU-bound).  Instead the grid splits into BK×BK cell blocks; each
+    # base cell is replicated into every block its 7×7 footprint touches
+    # (≤4 copies, ~1.1 avg at BK=64), ONE explicit shuffle co-locates a
+    # block's contributors, and the fan-out + aggregation happen inside
+    # the owning task: grouping by (_bx, _by, cx, cy) is satisfied by the
+    # existing hash partitioning on (_bx, _by), so the 49× expansion never
+    # crosses the wire.  The `_own` filter keeps each output cell in
+    # exactly one block, making the block sums a disjoint partition of the
+    # global sums.  At 1000 executors the same plan holds: the shuffle
+    # carries |occupied base cells| rows, independent of stencil size.
+    R = KERNEL_RADIUS
+    BK = 64
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    halo = (
+        base.withColumn(
+            "_bx",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.floor((F.col("_px") - R) / BK), F.floor((F.col("_px") + R) / BK)
+                    )
+                )
+            ),
+        )
+        .withColumn(
+            "_by",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.floor((F.col("_py") - R) / BK), F.floor((F.col("_py") + R) / BK)
+                    )
+                )
+            ),
+        )
+        .repartition(parts, "_bx", "_by")
+    )
     smeared = (
-        base.crossJoin(F.broadcast(stencil))
+        halo.crossJoin(F.broadcast(stencil))
         .select(
+            "_bx",
+            "_by",
             (F.col("_px") + F.col("dx")).alias("cx"),
             (F.col("_py") + F.col("dy")).alias("cy"),
             (F.col("_w0") * F.col("w")).alias("_w"),
         )
         .where(
-            (F.col("cx") >= 0) & (F.col("cx") < nx) & (F.col("cy") >= 0) & (F.col("cy") < ny)
+            (F.col("cx") >= 0)
+            & (F.col("cx") < nx)
+            & (F.col("cy") >= 0)
+            & (F.col("cy") < ny)
+            & (F.floor(F.col("cx") / BK) == F.col("_bx"))
+            & (F.floor(F.col("cy") / BK) == F.col("_by"))
         )
     )
-    cells = smeared.groupBy("cx", "cy").agg(F.sum("_w").alias("weight"))
+    cells = (
+        smeared.groupBy("_bx", "_by", "cx", "cy")
+        .agg(F.sum("_w").alias("weight"))
+        .drop("_bx", "_by")
+    )
     # ranking: a global Window.orderBy funnels every cell through ONE task
     # (Spark's single-partition window).  Fine for coarse grids (cells ≤
     # nx·ny ≤ 2^17), a scale bug for level-12+ pyramids — switch to the
@@ -88,7 +139,11 @@ def kde(
     if (level + 1) * 2 <= 17:
         win = Window.orderBy(F.col("weight").asc(), F.col("cx").asc(), F.col("cy").asc())
         return cells.withColumn("pct", F.percent_rank().over(win))
-    return distributed_percent_rank(cells)
+    # nx·ny bounds the occupied-cell count, letting the rank skip its
+    # preliminary count() job (one fewer serial barrier; a sparser grid
+    # just yields a smaller sample and coarser bucket BALANCE, never
+    # wrong ranks)
+    return distributed_percent_rank(cells, expected_rows=nx * ny)
 
 
 def kde_tiles(
@@ -138,18 +193,23 @@ def kde_tiles(
     )
 
 
-def distributed_percent_rank(cells: DataFrame, num_buckets: int | None = None) -> DataFrame:
+def distributed_percent_rank(
+    cells: DataFrame,
+    num_buckets: int | None = None,
+    expected_rows: int | None = None,
+) -> DataFrame:
     """Exact global percent_rank over (weight, cx, cy) without a
     single-partition window.
 
     Two-pass plan (the scalable analog of KDERunner's RangePartitioner
     sort + zipWithIndex, KDERunner.java:252-291):
 
-    1. split points from ``percentile_approx(weight)`` (distributed agg);
-       bucket = index of first bound with ``weight < bound`` — a function
-       of the weight alone, so equal weights always share a bucket and
-       cross-bucket order is strict (exactness does not depend on the
-       approximation, only balance does);
+    1. split points from a ~25k-row uniform weight sample (RangePartitioner's
+       strategy — cheaper than a percentile_approx sketch, whose high-accuracy
+       final merge profiled as a 1.5 s single-task stage); bucket = index of
+       first bound with ``weight < bound`` — a function of the weight alone,
+       so equal weights always share a bucket and cross-bucket order is
+       strict (exactness does not depend on the sample, only balance does);
     2. per-bucket counts → driver prefix-sum (``num_buckets`` ints) →
        rank = bucket offset + row_number() over a PARTITIONED window.
 
@@ -163,12 +223,24 @@ def distributed_percent_rank(cells: DataFrame, num_buckets: int | None = None) -
     cells = cells.persist()
     bounds: list[float] = []
     if B > 1:
-        got = cells.agg(
-            F.percentile_approx(
-                "weight", [i / B for i in range(1, B)], 10_000
-            ).alias("b")
-        ).first()["b"]
-        bounds = sorted(set(got or []))
+        # expected_rows (an upper bound, e.g. the grid size) lets the
+        # sample job double as the persist-materializing action; without
+        # it, one count() job sizes the sample fraction exactly
+        total0 = expected_rows if expected_rows else cells.count()
+        frac = min(1.0, (400.0 * B) / max(total0, 1))
+        sample = [
+            r["weight"]
+            for r in cells.select("weight").sample(False, frac, seed=7).collect()
+        ]
+        if sample:
+            import numpy as np
+
+            qs = np.quantile(
+                np.asarray(sample, dtype=np.float64),
+                [i / B for i in range(1, B)],
+                method="nearest",
+            )
+            bounds = sorted(set(float(q) for q in qs))
     bkt = F.lit(len(bounds))
     for i in reversed(range(len(bounds))):
         bkt = F.when(F.col("weight") < F.lit(bounds[i]), F.lit(i)).otherwise(bkt)

@@ -348,18 +348,21 @@ def knn_join(
             S = s
             break
     if auto_chunk:
-        # Parallelism-aware chunk cap (SplitsProvider sizes splits by
-        # mapper count the same way): clustered data can concentrate in a
-        # handful of supercells, leaving most cores idle at high
-        # parallelism unless hot groups split finer than the plain
-        # task-SIZE cap requires.  Target ≥ ~3 waves of tasks; floor at
-        # 4k candidates/chunk so tiny chunks don't drown in per-group
-        # overhead.  Explicit dense_cell_threshold disables this (tests
-        # pin exact split behavior with it).
-        cores = spark.sparkContext.defaultParallelism
-        chunk_limit = max(
-            4_000, min(chunk_limit, int(np.ceil(stats["n"] / max(3 * cores, 1))))
-        )
+        # Data-driven (NOT parallelism-driven) chunk cap.  Hot-supercell
+        # splitting replicates the cell's candidates ×⌈n/limit⌉, so the
+        # cap directly prices total work: Σ n_i²/limit extra shuffle rows
+        # and grid builds.  Round 2 scaled the cap with the core count,
+        # which made the 32-core run replicate ~4× more rows than the
+        # 8-core run on identical input (profiled: 6.6M vs 1.7M candidate
+        # rows) — the measured anti-scaling was the job DOING more work at
+        # more cores, not failing to parallelize it.  A fixed
+        # ~INPUT/48-target keeps the dataflow identical at every
+        # parallelism (the north rule's two-cluster-size comparison then
+        # measures the engine, not the plan drift) while still splitting a
+        # pathological cluster into enough chunks to occupy a wave of
+        # cores.  Explicit dense_cell_threshold disables this (tests pin
+        # exact split behavior with it).
+        chunk_limit = max(4_000, min(chunk_limit, int(np.ceil(stats["n"] / 48))))
     hot_rows = (
         cand.groupBy(
             F.floor((F.col("_clon") + F.lit(180.0)) / F.lit(cs * S)).alias("sx"),
@@ -490,6 +493,17 @@ def knn_join(
             }
         )
 
+    # Pin the cogroup exchange at the configured shuffle width: AQE
+    # coalesces exchanges by BYTE size, and the kernel's Python cost per
+    # byte is huge (profiled: 128-partition plan coalesced to 40, leaving
+    # a third of the cores idle through the whole kernel stage).  An
+    # explicit repartition on the group keys is AQE-exempt, satisfies the
+    # cogroup's clustered-distribution requirement on both sides (no
+    # second exchange), and keeps skewed groups spread across enough
+    # tasks for load balancing.
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    qh = qh.repartition(parts, "_sx", "_sy", "_chunk")
+    ch = ch.repartition(parts, "_sx", "_sy", "_chunk")
     out = (
         qh.groupBy("_sx", "_sy", "_chunk")
         .cogroup(ch.groupBy("_sx", "_sy", "_chunk"))
