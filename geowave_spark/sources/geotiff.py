@@ -1,14 +1,16 @@
-"""Baseline GeoTIFF reader (public TIFF 6.0 + GeoTIFF spec subset).
+"""GeoTIFF reader (public TIFF 6.0 + GeoTIFF spec subset).
 
 The reference ingests GeoTIFF through GDAL (extensions/formats/geotools-
 raster / gdal); no raster codec library exists in this environment, so
-this module parses the baseline subset from scratch: classic (non-Big)
-TIFF, either endianness, uncompressed strips (Compression=1), uint8 /
-uint16 / int16 / float32 / float64 samples, chunky planar config, and
-the two GeoTIFF placement tags that cover axis-aligned rasters —
-ModelPixelScale (33550) + ModelTiepoint (33922).  Tiled, compressed, or
-palette TIFFs raise with a clear message (honest partial, like the
-multimodal codec stubs).
+this module parses the format from scratch: classic (non-Big) TIFF,
+either endianness, STRIP or TILE layout, Compression 1 (none),
+5 (TIFF-LZW with early change), 8/32946 (Deflate/zlib), 32773
+(PackBits), Predictor 2 (horizontal differencing), uint8 / uint16 /
+int16 / float32 / float64 samples, chunky planar config, and the two
+GeoTIFF placement tags that cover axis-aligned rasters —
+ModelPixelScale (33550) + ModelTiepoint (33922).  Palette, JPEG and
+planar-separate TIFFs raise with a clear message (honest partial, like
+the multimodal codec stubs).
 
 ``read_geotiffs`` loads a directory/glob of .tif files into rows
 matching :func:`geowave_spark.raster.grid.tile_rasters` input
@@ -19,6 +21,7 @@ matching :func:`geowave_spark.raster.grid.tile_rasters` input
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -30,6 +33,141 @@ _SAMPLE_DTYPES = {
     (3, 32): "f4",
     (3, 64): "f8",
 }
+
+
+def lzw_decode(data: bytes) -> bytes:
+    """TIFF-flavor LZW (TIFF 6.0 §13): MSB-first bit packing, Clear=256,
+    EOI=257, 9→12-bit codes with *early change* (the code width grows
+    when the NEXT code would not fit, i.e. at table sizes 510/1022/2046
+    because TIFF writers switch one code early)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    bits = 9
+    acc = 0
+    nacc = 0
+    prev: bytes | None = None
+    next_code = 258
+    for byte in data:
+        acc = (acc << 8) | byte
+        nacc += 8
+        while nacc >= bits:
+            code = (acc >> (nacc - bits)) & ((1 << bits) - 1)
+            nacc -= bits
+            if code == 256:  # Clear
+                table = table[:258]
+                next_code = 258
+                bits = 9
+                prev = None
+                continue
+            if code == 257:  # EOI
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+                next_code += 1
+            elif code == next_code:
+                entry = prev + prev[:1]
+                table.append(entry)
+                next_code += 1
+            else:
+                raise ValueError(f"corrupt LZW stream (code {code} > {next_code})")
+            out += entry
+            prev = entry
+            # early change: the decoder's table is one entry behind the
+            # encoder's, so it must widen at 510/1022/2046 (2^bits − 2)
+            # where the encoder widens at 511/1023/2047 — the same moment
+            # in the code stream (libtiff behavior)
+            if next_code >= (1 << bits) - 2 and bits < 12:
+                bits += 1
+    return bytes(out)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF-flavor LZW encoder (writer support + decode round-trip
+    oracle).  Emits Clear up front, re-clears when the table fills at
+    4094, early-changes the code width in lockstep with the decoder."""
+    out = bytearray()
+    acc = 0
+    nacc = 0
+
+    def emit(code: int, bits: int):
+        nonlocal acc, nacc
+        acc = (acc << bits) | code
+        nacc += bits
+        while nacc >= 8:
+            out.append((acc >> (nacc - 8)) & 0xFF)
+            nacc -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    bits = 9
+    next_code = 258
+    emit(256, bits)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], bits)
+        table[wc] = next_code
+        next_code += 1
+        if next_code >= (1 << bits) - 1 and bits < 12:
+            bits += 1
+        if next_code > 4094:
+            emit(256, bits)
+            table = {bytes([i]): i for i in range(256)}
+            bits = 9
+            next_code = 258
+        w = bytes([b])
+    if w:
+        emit(table[w], bits)
+    emit(257, bits)
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+def packbits_decode(data: bytes) -> bytes:
+    """PackBits RLE (TIFF 6.0 §9)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:  # literal run of c+1 bytes
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:  # repeat next byte 257-c times
+            out += data[i : i + 1] * (257 - c)
+            i += 1
+        # 128 = noop
+    return bytes(out)
+
+
+def _decompress(seg: bytes, method: int) -> bytes:
+    if method == 1:
+        return seg
+    if method in (8, 32946):  # Deflate / AdobeDeflate — zlib stream
+        return zlib.decompress(seg)
+    if method == 5:
+        return lzw_decode(seg)
+    if method == 32773:
+        return packbits_decode(seg)
+    raise ValueError(f"unsupported TIFF compression {method}")
+
+
+def _undo_predictor(rows: np.ndarray, predictor: int) -> np.ndarray:
+    """Predictor 2 (TIFF 6.0 §14, horizontal differencing): each sample
+    stores the delta to the previous pixel's same band within the row;
+    the inverse is a wrap-around prefix sum along the width axis."""
+    if predictor == 1:
+        return rows
+    if predictor == 2:
+        return np.add.accumulate(rows, axis=1, dtype=rows.dtype)
+    raise ValueError(f"unsupported TIFF predictor {predictor}")
 
 
 def parse_geotiff(raw: bytes) -> tuple[np.ndarray, dict]:
@@ -64,10 +202,8 @@ def parse_geotiff(raw: bytes) -> tuple[np.ndarray, dict]:
         v = tags.get(tag)
         return v[0] if v else default
 
-    if one(259, 1) != 1:
-        raise ValueError("only uncompressed (Compression=1) GeoTIFF supported")
-    if 322 in tags or 323 in tags:
-        raise ValueError("tiled TIFF not supported (strip layout only)")
+    compression = int(one(259, 1))
+    predictor = int(one(317, 1))
     w, h = int(one(256)), int(one(257))
     spp = int(one(277, 1))
     bits = tags.get(258, (8,) * spp)[0]
@@ -76,18 +212,39 @@ def parse_geotiff(raw: bytes) -> tuple[np.ndarray, dict]:
     if key not in _SAMPLE_DTYPES:
         raise ValueError(f"unsupported sample format/bits {key}")
     dtype = np.dtype(bo + _SAMPLE_DTYPES[key])
+    native = dtype.newbyteorder("=")
     if int(one(284, 1)) != 1:
         raise ValueError("planar configuration 2 not supported")
-    offsets = tags[273]
-    counts = tags[279]
-    rows_per_strip = int(one(278, h))
-    data = np.empty((h, w, spp), dtype=dtype.newbyteorder("="))
-    row = 0
-    for soff, scnt in zip(offsets, counts):
-        strip = np.frombuffer(raw, dtype=dtype, count=scnt // dtype.itemsize, offset=soff)
-        nrows = min(rows_per_strip, h - row)
-        data[row : row + nrows] = strip.reshape(nrows, w, spp)
-        row += nrows
+    if predictor == 2 and dtype.kind == "f":
+        raise ValueError("floating-point predictor on float samples not supported")
+
+    def seg_array(seg_raw: bytes, rows: int, cols: int) -> np.ndarray:
+        """One decompressed strip/tile → (rows, cols, spp), predictor undone."""
+        plain = _decompress(seg_raw, compression)
+        arr = np.frombuffer(plain, dtype=dtype, count=rows * cols * spp).reshape(
+            rows, cols, spp
+        )
+        return _undo_predictor(arr.astype(native), predictor)
+
+    data = np.empty((h, w, spp), dtype=native)
+    if 322 in tags or 323 in tags:  # tile layout (TIFF 6.0 §15)
+        tw, th = int(one(322)), int(one(323))
+        offsets, counts = tags[324], tags[325]
+        across = -(-w // tw)
+        for ti, (soff, scnt) in enumerate(zip(offsets, counts)):
+            ty, tx = divmod(ti, across)
+            tile = seg_array(raw[soff : soff + scnt], th, tw)
+            rh = min(th, h - ty * th)
+            rw = min(tw, w - tx * tw)
+            data[ty * th : ty * th + rh, tx * tw : tx * tw + rw] = tile[:rh, :rw]
+    else:  # strip layout
+        offsets, counts = tags[273], tags[279]
+        rows_per_strip = int(one(278, h))
+        row = 0
+        for soff, scnt in zip(offsets, counts):
+            nrows = min(rows_per_strip, h - row)
+            data[row : row + nrows] = seg_array(raw[soff : soff + scnt], nrows, w)
+            row += nrows
     meta = {"width": w, "height": h, "bands": spp, "dtype": data.dtype.name}
     if 33550 in tags:
         meta["pixel_scale"] = tags[33550][:3]
@@ -113,35 +270,92 @@ def parse_geotiff(raw: bytes) -> tuple[np.ndarray, dict]:
     return data, meta
 
 
-def write_geotiff(path: str, data: np.ndarray, origin: tuple[float, float], res: float) -> None:
-    """Minimal little-endian uncompressed GeoTIFF writer (one strip) —
-    for tests and round-trips."""
+_COMPRESSORS = {
+    "none": (1, lambda b: b),
+    "deflate": (8, zlib.compress),
+    "lzw": (5, lzw_encode),
+    "packbits": (32773, None),  # writer never emits packbits (decode-only)
+}
+
+
+def write_geotiff(
+    path: str,
+    data: np.ndarray,
+    origin: tuple[float, float],
+    res: float,
+    compression: str = "none",
+    predictor: int = 1,
+    tile_size: int | None = None,
+) -> None:
+    """Little-endian GeoTIFF writer — strip (default, one strip) or tiled
+    layout, optional Deflate/LZW compression and horizontal-differencing
+    predictor — for tests and round-trips."""
     h, w, spp = data.shape
     dt = data.dtype
     sfmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
     bits = dt.itemsize * 8
-    px = np.ascontiguousarray(data.astype(dt.newbyteorder("<"))).tobytes()
-    entries = []  # (tag, type, count, value_bytes_or_int)
-    # data layout: header(8) + pixel data, IFD after pixels
-    pix_off = 8
-    ifd_off = pix_off + len(px)
+    method, compress = _COMPRESSORS[compression]
+    if compress is None:
+        raise ValueError(f"writer does not support {compression}")
 
-    extra: list[bytes] = []
-    extra_off = [0]  # patched later
+    def seg_bytes(arr: np.ndarray) -> bytes:
+        if predictor == 2:
+            arr = np.concatenate(
+                [arr[:, :1], (arr[:, 1:] - arr[:, :-1])], axis=1
+            ).astype(dt)
+        return compress(np.ascontiguousarray(arr.astype(dt.newbyteorder("<"))).tobytes())
+
+    segs: list[bytes] = []
+    if tile_size:
+        ts = tile_size
+        for ty in range(-(-h // ts)):
+            for tx in range(-(-w // ts)):
+                tile = np.zeros((ts, ts, spp), dtype=dt)
+                blk = data[ty * ts : (ty + 1) * ts, tx * ts : (tx + 1) * ts]
+                tile[: blk.shape[0], : blk.shape[1]] = blk
+                segs.append(seg_bytes(tile))
+    else:
+        segs.append(seg_bytes(data))
+
+    entries = []  # (tag, type, count, value_bytes_or_int)
+    # data layout: header(8) + segment data, IFD after segments
+    pix_off = 8
+    seg_offs = []
+    o = pix_off
+    for s in segs:
+        seg_offs.append(o)
+        o += len(s)
+    ifd_off = o
+    px = b"".join(segs)
 
     def ent(tag, ttype, count, packed=None, value=None):
         entries.append((tag, ttype, count, packed, value))
 
+    def offs_entry(tag_off, tag_cnt):
+        n = len(segs)
+        if n == 1:
+            ent(tag_off, 4, 1, value=seg_offs[0])
+            ent(tag_cnt, 4, 1, value=len(segs[0]))
+        else:
+            ent(tag_off, 4, n, packed=struct.pack("<" + "I" * n, *seg_offs))
+            ent(tag_cnt, 4, n, packed=struct.pack("<" + "I" * n, *[len(s) for s in segs]))
+
     ent(256, 4, 1, value=w)
     ent(257, 4, 1, value=h)
     ent(258, 3, spp, packed=struct.pack("<" + "H" * spp, *([bits] * spp)))
-    ent(259, 3, 1, value=1)
+    ent(259, 3, 1, value=method)
     ent(262, 3, 1, value=1)
-    ent(273, 4, 1, value=pix_off)
     ent(277, 3, 1, value=spp)
-    ent(278, 4, 1, value=h)
-    ent(279, 4, 1, value=len(px))
     ent(284, 3, 1, value=1)
+    if predictor != 1:
+        ent(317, 3, 1, value=predictor)
+    if tile_size:
+        ent(322, 4, 1, value=tile_size)
+        ent(323, 4, 1, value=tile_size)
+        offs_entry(324, 325)
+    else:
+        ent(278, 4, 1, value=h)
+        offs_entry(273, 279)
     ent(339, 3, spp, packed=struct.pack("<" + "H" * spp, *([sfmt] * spp)))
     ent(33550, 12, 3, packed=struct.pack("<3d", res, res, 0.0))
     ent(33922, 12, 6, packed=struct.pack("<6d", 0, 0, 0, origin[0], origin[1], 0))
