@@ -14,6 +14,7 @@ weaker rows-only check; their exact oracles live in tests/ (numpy).
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -345,12 +346,63 @@ def q_spatial_subsample(spark, sf_dir):
     ).select("cx", "cy", "c_custkey")
 
 
+# web mercator's square-world latitude bound (atan(sinh(π)) in degrees)
+MERC_MAX_LAT = 85.05112877980659
+
+
 def q_spatial_kde(spark, sf_dir):
-    return kde(_customer_points(spark, sf_dir), KDE_LEVEL).select(
-        "cx", "cy", F.round("weight", 6).alias("weight")
+    """KDE in the default index CRS UNION the same job in EPSG:3857 —
+    the reference's CustomCRSKDERasterResizeIT runs the identical
+    pipeline in a non-default CRS (reprojection is a Catalyst expression
+    fused into the cell binning, geowave_spark/crs.py).  Latitude clamps
+    to the mercator square-world bound in both the query and the oracle
+    so the poles don't project to ±inf.  One driver entry (the gate caps
+    at 50 rows), two value-gated grids."""
+    pts = _customer_points(spark, sf_dir)
+    base = kde(pts, KDE_LEVEL).select(
+        F.lit("EPSG:4326").alias("crs"),
+        "cx",
+        "cy",
+        F.round("weight", 6).alias("weight"),
     )
+    clamped = pts.withColumn(
+        "lat",
+        F.greatest(F.lit(-MERC_MAX_LAT), F.least(F.lit(MERC_MAX_LAT), F.col("lat"))),
+    )
+    merc = kde(clamped, KDE_LEVEL, crs="EPSG:3857").select(
+        F.lit("EPSG:3857").alias("crs"),
+        "cx",
+        "cy",
+        F.round("weight", 6).alias("weight"),
+    )
+    return base.unionByName(merc)
 
 
+
+
+def _kde_mercator_oracle_sql() -> str:
+    """DuckDB twin of q_kde_mercator: project → bin → stencil-smear with
+    the same literals and op order as the Catalyst expressions."""
+    nx, ny = 1 << (KDE_LEVEL + 1), 1 << KDE_LEVEL
+    from geowave_spark.crs import A_WGS84, WEB_MERCATOR_EXTENT
+
+    e = WEB_MERCATOR_EXTENT
+    vals = ", ".join(f"({dx}, {dy}, {w!r})" for dx, dy, w in gaussian_stencil())
+    clat = f"greatest({-MERC_MAX_LAT!r}, least({MERC_MAX_LAT!r}, {CLAT}))"
+    d2r = repr(math.pi / 180.0)
+    mx = f"(({CLON}) * {d2r} * {A_WGS84!r})"
+    my = f"(ln(tan({math.pi / 4.0!r} + ({clat}) * {d2r} / 2.0)) * {A_WGS84!r})"
+    return f"""
+WITH pts AS (
+  SELECT CAST(least({nx - 1}, greatest(0, CAST(floor(({mx} - {-e!r}) / {2.0 * e!r} * {nx}) AS BIGINT))) AS BIGINT) AS px,
+         CAST(least({ny - 1}, greatest(0, CAST(floor(({my} - {-e!r}) / {2.0 * e!r} * {ny}) AS BIGINT))) AS BIGINT) AS py
+  FROM customer
+), k(dx, dy, w) AS (VALUES {vals})
+SELECT px + dx AS cx, py + dy AS cy, round(sum(1.0 * w), 6) AS weight
+FROM pts, k
+WHERE px + dx >= 0 AND px + dx < {nx} AND py + dy >= 0 AND py + dy < {ny}
+GROUP BY 1, 2
+"""
 
 
 def q_sfc_bin_counts(spark, sf_dir):
@@ -797,14 +849,29 @@ def q_dbscan_clusters(spark, sf_dir):
 
 
 def q_kmeans_hulls(spark, sf_dir):
-    """MLlib KMeans + convex hull per cluster (KMeansRunner.java:201-211,
-    KMeansHullGenerator) — rows-only gate (iterative, not SQL-expressible)."""
-    from geowave_spark.operators.kmeans import cluster_hulls, kmeans_clusters
+    """KMeans + convex hull per cluster (KMeansRunner.java:201-211,
+    KMeansHullGenerator).  Uses the deterministic Lloyd variant
+    (grid-snapped int sums, k-lowest-id init) so the iterative algorithm
+    is value-gated against an independent numpy oracle: output is
+    (cluster, n_points, sum_x, sum_y) with exact integer centroid sums.
+    The MLlib path (`kmeans_clusters`) stays the production default; the
+    hull WKTs are exercised here but gated in pytest (FP-sensitive
+    collinear formatting kept out of the hash)."""
+    from geowave_spark.operators.kmeans import cluster_hulls, lloyd_kmeans
 
-    # small input: coalesce so MLlib's iterative jobs don't pay
+    # small input: coalesce so the iterative jobs don't pay
     # many-partition scheduling overhead per iteration
-    assigned = kmeans_clusters(_customer_points(spark, sf_dir).coalesce(4), k=8)
-    return cluster_hulls(assigned).select("cluster", "n_points")
+    assigned = lloyd_kmeans(
+        _customer_points(spark, sf_dir).coalesce(4), k=8, id_col="c_custkey"
+    )
+    hulls = cluster_hulls(assigned).select("cluster", "n_points")
+    sums = assigned.groupBy("cluster").agg(
+        F.sum(F.floor(F.col("lon") * 1000.0 + 0.5).cast("long")).alias("sum_x"),
+        F.sum(F.floor(F.col("lat") * 1000.0 + 0.5).cast("long")).alias("sum_y"),
+    )
+    return hulls.join(F.broadcast(sums), "cluster").select(
+        "cluster", "n_points", "sum_x", "sum_y"
+    )
 
 
 def _customer_pts_view(spark, sf_dir):
@@ -1322,7 +1389,11 @@ WITH c AS ({cust_pts}), g AS (
   FROM c)
 SELECT cx, cy, min(c_custkey) AS c_custkey FROM g GROUP BY cx, cy
 """,
-        "spatial_kde": _kde_oracle_sql(),
+        "spatial_kde": f"""
+SELECT 'EPSG:4326' AS crs, cx, cy, weight FROM ({_kde_oracle_sql()})
+UNION ALL
+SELECT 'EPSG:3857' AS crs, cx, cy, weight FROM ({_kde_mercator_oracle_sql()})
+""",
         "spatial_temporal_range_query": f"""
 SELECT event_id FROM (
   SELECT event_id, ts, {EV_LON} AS lon, {EV_LAT} AS lat FROM events)
@@ -1488,6 +1559,10 @@ WHERE rank <= 5
         "dbscan_clusters": _ov().values_sql(
             _ov().dbscan_rows(ORACLE_SF_DIR, CLON, CLAT, eps=8.0, min_pts=3),
             "t(cluster, n_points)",
+        ),
+        "kmeans_hulls": _ov().values_sql(
+            _ov().kmeans_rows(ORACLE_SF_DIR, CLON, CLAT, k=8),
+            "t(cluster, n_points, sum_x, sum_y)",
         ),
         "tile_assignment": _tile_assignment_oracle_sql(),
         "sfc_bin_counts": f"""

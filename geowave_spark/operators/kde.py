@@ -41,10 +41,16 @@ def kde(
     lon: str = "lon",
     lat: str = "lat",
     weight: str | None = None,
+    crs: str = "EPSG:4326",
 ) -> DataFrame:
     """→ (cx, cy, weight, pct) cell densities at the given pyramid level.
 
-    Grid is 2^(level+1) × 2^level cells over lon×lat (KDERunner grid shape).
+    Grid is 2^(level+1) × 2^level cells over the CRS's full extent
+    (KDERunner grid shape; the reference's CustomCRSKDERasterResizeIT
+    runs the same job in a non-default CRS — ``crs`` reprojects the
+    lon/lat inputs with the Catalyst expressions in
+    :mod:`geowave_spark.crs`, so the projection happens inside the same
+    codegen stage as the cell binning, no extra pass).
     ``pct`` is the percentile of the cell's weight among non-empty cells
     (descending-weight percentile per KDERunner.java:282-291).
     """
@@ -53,9 +59,13 @@ def kde(
     spark = points.sparkSession
     stencil = spark.createDataFrame(gaussian_stencil(), "dx int, dy int, w double")
 
+    from geowave_spark.crs import crs_extent, forward_cols
+
+    minx, miny, maxx, maxy = crs_extent(crs)
+    px, py = forward_cols(crs, lon, lat)
     base = points.select(
-        F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * nx).cast("long").alias("_px"),
-        F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * ny).cast("long").alias("_py"),
+        F.floor((px - F.lit(minx)) / F.lit(maxx - minx) * nx).cast("long").alias("_px"),
+        F.floor((py - F.lit(miny)) / F.lit(maxy - miny) * ny).cast("long").alias("_py"),
         (F.col(weight) if weight else F.lit(1.0)).alias("_w0"),
     ).select(
         F.least(F.lit(nx - 1), F.greatest(F.lit(0), F.col("_px"))).alias("_px"),
@@ -154,6 +164,7 @@ def kde_tiles(
     lat: str = "lat",
     weight: str | None = None,
     value: str = "pct",
+    crs: str = "EPSG:4326",
 ) -> DataFrame:
     """KDE cell grid → float32 raster tiles — the vector→raster stage of
     the reference's KDE job (KDERunner.java:267-311: cell weights pack
@@ -169,7 +180,7 @@ def kde_tiles(
     import pandas as pd
 
     ts = tile_size
-    cells = kde(points, level, lon, lat, weight)
+    cells = kde(points, level, lon, lat, weight, crs=crs)
     keyed = cells.withColumn("_tx", F.floor(F.col("cx") / ts).cast("long")).withColumn(
         "_ty", F.floor(F.col("cy") / ts).cast("long")
     )

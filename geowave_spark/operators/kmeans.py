@@ -36,6 +36,86 @@ def kmeans_clusters(
     return model.transform(feats).drop("_features")
 
 
+def lloyd_kmeans(
+    df: DataFrame,
+    k: int,
+    id_col: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    max_iter: int = 50,
+    snap: float = 1000.0,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means, bit-reproducible across engines.
+
+    MLlib's k-means|| init is seed- and partitioning-dependent, so its
+    output can't be gated against an independent implementation.  This
+    variant is fully pinned:
+
+    * coordinates snap to a grid (``floor(x*snap + 0.5)`` → int64), so
+      per-cluster centroid *sums* are exact integers (Spark ``sum(long)``
+      and ``np.bincount`` agree bit-for-bit);
+    * initial centroids are the ``k`` rows with the lowest ``id_col``;
+    * each iteration broadcasts the k ``(sum_x, sum_y, n)`` triples as
+      literals; the assignment expression evaluates
+      ``(x - sx/n)² + (y - sy/n)²`` in a fixed IEEE-754 op order, so any
+      correctly-rounding engine (JVM, numpy) produces identical bits;
+      ties break to the lowest cluster index (``array_min`` over
+      ``struct(dist, idx)`` == ``np.argmin`` first-occurrence);
+    * an empty cluster keeps its previous centroid;
+    * convergence = the integer sum triples reach a fixpoint.
+
+    Scale notes: the per-iteration shuffle is one map-side-combinable
+    groupBy of k rows; the centroid state collected per iteration is k
+    triples.  Integer sums overflow int64 only past ~5e10 rows per
+    cluster at 8 decimal digits of coordinate — far beyond the 100 TB
+    target for point data.
+    """
+    pts = df.withColumn(
+        "_xi", F.floor(F.col(lon) * F.lit(snap) + F.lit(0.5)).cast("long")
+    ).withColumn("_yi", F.floor(F.col(lat) * F.lit(snap) + F.lit(0.5)).cast("long"))
+    pts = pts.persist()
+    try:
+        init = (
+            pts.select(id_col, "_xi", "_yi").orderBy(id_col).limit(k).collect()
+        )
+        if len(init) < k:
+            raise ValueError(f"k={k} exceeds the {len(init)} distinct input rows")
+        cents: list[tuple[int, int, int]] = [(r["_xi"], r["_yi"], 1) for r in init]
+
+        def assign_expr(cs):
+            xd = F.col("_xi").cast("double")
+            yd = F.col("_yi").cast("double")
+            arms = []
+            for i, (sx, sy, n) in enumerate(cs):
+                cx, cy = float(sx) / float(n), float(sy) / float(n)
+                dx = xd - F.lit(cx)
+                dy = yd - F.lit(cy)
+                arms.append(
+                    F.struct((dx * dx + dy * dy).alias("d"), F.lit(i).alias("i"))
+                )
+            return F.array_min(F.array(*arms))["i"]
+
+        for _ in range(max_iter):
+            rows = (
+                pts.groupBy(assign_expr(cents).alias("_c"))
+                .agg(
+                    F.sum("_xi").alias("sx"),
+                    F.sum("_yi").alias("sy"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            )
+            new = list(cents)  # empty clusters keep their centroid
+            for r in rows:
+                new[r["_c"]] = (r["sx"], r["sy"], r["n"])
+            if new == cents:
+                break
+            cents = new
+        return pts.withColumn("cluster", assign_expr(cents)).drop("_xi", "_yi")
+    finally:
+        pts.unpersist()
+
+
 def convex_hull(points: np.ndarray) -> np.ndarray:
     """Andrew's monotone chain; returns closed ring (CCW) — degenerate
     inputs (<3 distinct points) return the distinct points themselves."""

@@ -267,6 +267,17 @@ def parse_geotiff(raw: bytes) -> tuple[np.ndarray, dict]:
             meta["origin"] = (tp[3] - tp[0] * sx, tp[4] - tp[1] * sy)
         else:
             meta["origin"] = (tp[3], tp[4])
+    if 34735 in tags:  # GeoKeyDirectory: CRS geokeys (GeoTIFF spec §2.4)
+        gk = tags[34735]
+        keys: dict[int, int] = {}
+        for j in range(int(gk[3])):
+            kid, loc, _cnt, val = gk[4 + 4 * j : 8 + 4 * j]
+            if loc == 0:  # inline SHORT value
+                keys[int(kid)] = int(val)
+        # ProjectedCSTypeGeoKey wins over GeographicTypeGeoKey
+        code = keys.get(3072) or keys.get(2048)
+        if code and code != 32767:  # 32767 = user-defined, no EPSG id
+            meta["crs"] = f"EPSG:{code}"
     return data, meta
 
 
@@ -286,6 +297,7 @@ def write_geotiff(
     compression: str = "none",
     predictor: int = 1,
     tile_size: int | None = None,
+    crs: str = "EPSG:4326",
 ) -> None:
     """Little-endian GeoTIFF writer — strip (default, one strip) or tiled
     layout, optional Deflate/LZW compression and horizontal-differencing
@@ -359,6 +371,17 @@ def write_geotiff(
     ent(339, 3, spp, packed=struct.pack("<" + "H" * spp, *([sfmt] * spp)))
     ent(33550, 12, 3, packed=struct.pack("<3d", res, res, 0.0))
     ent(33922, 12, 6, packed=struct.pack("<6d", 0, 0, 0, origin[0], origin[1], 0))
+    # GeoKeyDirectory: model type + raster type + the EPSG code (geokey
+    # 2048 for geographic CRSes, 3072 for projected)
+    code = int(crs.split(":", 1)[1])
+    geographic = code == 4326
+    gkeys = (
+        (1024, 0, 1, 2 if geographic else 1),
+        (1025, 0, 1, 1),
+        (2048 if geographic else 3072, 0, 1, code),
+    )
+    gvals = (1, 1, 0, len(gkeys)) + tuple(v for kk in gkeys for v in kk)
+    ent(34735, 3, len(gvals), packed=struct.pack("<" + "H" * len(gvals), *gvals))
     entries.sort(key=lambda e: e[0])
 
     n = len(entries)
@@ -380,13 +403,24 @@ def write_geotiff(
         f.write(ext_blob)
 
 
-def read_geotiffs(spark: SparkSession, path: str) -> DataFrame:
+def read_geotiffs(
+    spark: SparkSession, path: str, to_crs: str = "EPSG:4326"
+) -> DataFrame:
     """Directory/glob of .tif → (raster_id, data, w, h, bands, dtype, lon,
     lat, res) rows, decoded on executors; ``lon/lat`` is the SOUTH-WEST
     corner and rows are flipped south-up to match the tiling convention
-    (tile row 0 = southmost)."""
+    (tile row 0 = southmost).
+
+    A file whose GeoKeyDirectory declares a different CRS gets its
+    envelope reprojected into ``to_crs`` by densified boundary sampling
+    — the reference's ``RasterDataAdapter.convertToIndex`` behavior
+    (RasterDataAdapter.java:444-550 reprojects the coverage envelope
+    into the index CRS via geotools; pixels are not resampled, the
+    georeference is)."""
 
     def _decode(row):
+        from geowave_spark.crs import reproject_envelope
+
         name = row["path"].rsplit("/", 1)[-1]
         arr, meta = parse_geotiff(bytes(row["content"]))
         res = float(meta.get("pixel_scale", (1.0, 1.0, 0.0))[0])
@@ -394,6 +428,13 @@ def read_geotiffs(spark: SparkSession, path: str) -> DataFrame:
         h, w, bands = arr.shape
         # GeoTIFF origin is the top-left corner with north-up rows
         sw_lat = float(oy) - h * res
+        src = meta.get("crs", "EPSG:4326")
+        if src != to_crs:
+            env = reproject_envelope(
+                (float(ox), sw_lat, float(ox) + w * res, float(oy)), src, to_crs
+            )
+            ox, sw_lat = env[0], env[1]
+            res = (env[2] - env[0]) / w
         flipped = np.ascontiguousarray(arr[::-1])
         return (
             name,
@@ -403,7 +444,7 @@ def read_geotiffs(spark: SparkSession, path: str) -> DataFrame:
             int(bands),
             str(arr.dtype.name),
             float(ox),
-            sw_lat,
+            float(sw_lat),
             res,
         )
 

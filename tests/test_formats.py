@@ -313,3 +313,50 @@ class TestGeoTiffCompression:
         raw[i + 8 : i + 10] = _s.pack("<H", 7)
         with pytest.raises(ValueError, match="compression"):
             parse_geotiff(bytes(raw))
+
+
+class TestGeoTiffCRS:
+    def test_geokey_round_trip(self, tmp_path):
+        from geowave_spark.sources.geotiff import parse_geotiff, write_geotiff
+
+        arr = np.arange(12, dtype=np.float32).reshape(3, 4, 1)
+        p = str(tmp_path / "utm.tif")
+        write_geotiff(p, arr, origin=(500000.0, 4649776.0), res=30.0, crs="EPSG:32631")
+        _, meta = parse_geotiff(open(p, "rb").read())
+        assert meta["crs"] == "EPSG:32631"
+        p2 = str(tmp_path / "geo.tif")
+        write_geotiff(p2, arr, origin=(-10.0, 42.0), res=0.01)
+        _, meta2 = parse_geotiff(open(p2, "rb").read())
+        assert meta2["crs"] == "EPSG:4326"
+
+    def test_read_geotiffs_reprojects_utm_envelope(self, spark, tmp_path):
+        """A UTM-georeferenced file lands in the 4326 index with an
+        envelope that covers the projected footprint (the
+        RasterDataAdapter.convertToIndex behavior)."""
+        from geowave_spark.crs import transform_np
+        from geowave_spark.sources.geotiff import read_geotiffs, write_geotiff
+
+        # a 100×100-pixel, 100 m tile at UTM 31N near (2°E, 45°N)
+        lon0, lat0 = 2.0, 45.0
+        x0, y0 = transform_np(np.array([lon0]), np.array([lat0]), "EPSG:4326", "EPSG:32631")
+        w = h = 100
+        res_m = 100.0
+        arr = np.ones((h, w, 1), dtype=np.uint8)
+        # write with the TOP-left origin convention (origin y = top)
+        write_geotiff(
+            str(tmp_path / "t.tif"),
+            arr,
+            origin=(float(x0[0]), float(y0[0]) + h * res_m),
+            res=res_m,
+            crs="EPSG:32631",
+        )
+        row = read_geotiffs(spark, str(tmp_path)).collect()[0]
+        # the reprojected SW corner must sit at/under the known lon/lat
+        assert row["lon"] <= lon0 + 1e-6
+        assert row["lat"] <= lat0 + 1e-6
+        # and the envelope must cover the tile's far corner
+        xf, yf = x0[0] + w * res_m, y0[0] + h * res_m
+        lon_f, lat_f = transform_np(np.array([xf]), np.array([yf]), "EPSG:32631", "EPSG:4326")
+        assert row["lon"] + row["w"] * row["res"] >= lon_f[0] - 1e-6
+        # ~10 km at 45N is ~0.127° lon — sanity-check the degree res
+        assert 0.10 < row["w"] * row["res"] < 0.16

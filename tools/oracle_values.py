@@ -290,6 +290,62 @@ def dbscan_rows(
     return sorted(counts.items())
 
 
+def kmeans_rows(
+    sf_dir: str,
+    clon: str,
+    clat: str,
+    k: int = 8,
+    max_iter: int = 50,
+    snap: float = 1000.0,
+) -> list[tuple[int, int, int, int]]:
+    """(cluster, n_points, sum_x, sum_y) per deterministic-Lloyd cluster —
+    independent numpy implementation of the pinned algorithm: grid-snap
+    to int64, init = k lowest ids, centroid = exact integer sums, dist =
+    (x - sx/n)^2 + (y - sy/n)^2 in float64 with first-occurrence argmin
+    tie-break, empty clusters keep their centroid, stop at the integer
+    fixpoint."""
+    import duckdb
+
+    pts = duckdb.sql(
+        f"SELECT c_custkey, {clon} AS lon, {clat} AS lat FROM "
+        f"'{sf_dir}/customer.parquet' ORDER BY c_custkey"
+    ).fetchall()
+    xi = np.array([int(np.floor(p[1] * snap + 0.5)) for p in pts], dtype=np.int64)
+    yi = np.array([int(np.floor(p[2] * snap + 0.5)) for p in pts], dtype=np.int64)
+    # rows come back ordered by id, so the k lowest ids are the head
+    cents = [(int(xi[i]), int(yi[i]), 1) for i in range(k)]
+    xd = xi.astype(np.float64)
+    yd = yi.astype(np.float64)
+    def _assign(cs):
+        d2 = np.empty((len(xi), k), dtype=np.float64)
+        for i, (sx, sy, n) in enumerate(cs):
+            dx = xd - (float(sx) / float(n))
+            dy = yd - (float(sy) / float(n))
+            d2[:, i] = dx * dx + dy * dy
+        return np.argmin(d2, axis=1)
+
+    for _ in range(max_iter):
+        assign = _assign(cents)
+        new = list(cents)
+        for c in range(k):
+            m = assign == c
+            cnt = int(m.sum())
+            if cnt:
+                new[c] = (int(xi[m].sum()), int(yi[m].sum()), cnt)
+        if new == cents:
+            break
+        cents = new
+    # the gated output aggregates over the FINAL labeling (one assignment
+    # pass with the final centroids — same as the Spark query's groupBy)
+    assign = _assign(cents)
+    out = []
+    for c in range(k):
+        m = assign == c
+        if m.any():
+            out.append((c, int(m.sum()), int(xi[m].sum()), int(yi[m].sum())))
+    return out
+
+
 def values_sql(rows: list[tuple], cols: str) -> str:
     """Embed rows as a DuckDB VALUES relation: cols like
     "t(id_a, id_b, jaccard)"."""
