@@ -9,46 +9,42 @@ re-applies the exact predicate over the much smaller participating
 subsets, so results are identical to evaluating the SQL directly — the
 index join only prunes.
 
-This module does the same at the SQL-text level:
+This module does the same at the PLAN level (r3; the r1–r2 version was a
+regex over the SQL text, which subqueries / qualified names / expression
+arguments silently defeated):
 
-1. detect a single supported spatial predicate in the WHERE/ON clause —
-   ``st_within_distance(a.g, b.g, r)``, ``st_contains(a.g, b.g)``,
-   ``st_within(a.g, b.g)`` or ``st_intersects(a.g, b.g)`` — between two
-   FROM relations (comma or JOIN syntax, with or without aliases);
+1. parse the SQL with Spark's own parser
+   (``sessionState().sqlParser().parsePlan``) and walk the unresolved
+   logical plan: exactly two relation references, exactly one supported
+   spatial predicate — ``st_within_distance(a.g, b.g, r)``,
+   ``st_contains/st_within/st_intersects(a.g, b.g)`` — sitting in a
+   Filter/Join condition reachable from the condition root only through
+   ``And`` (the reference's exactly-one-top-level-conjunct rule,
+   SqlQueryRunner.java:164-245);
 2. run the matching indexed join (:func:`distance_join` for point×point,
-   :func:`polygon_distance_join` / :func:`point_in_polygon_join` when a
-   side holds polygons — detected from the WKT prefix of a sampled row);
-3. semi-join each input view down to its participating rows, register
-   the subsets as ``<name>__gw_injected``, rewrite the FROM clause, and
-   hand the SQL back to Spark — Catalyst then plans the (cheap) re-verify
-   over the subsets.
+   the geometry joins when a side holds lines/polygons — detected from
+   the WKT prefix of a sampled row);
+3. semi-join each relation down to its participating rows, temporarily
+   re-register the PRUNED subsets under the ORIGINAL names (the
+   reference swaps the relations in the session the same way), re-run
+   the untouched SQL — Catalyst re-applies the exact predicate over the
+   small subsets — then restore the catalog.
 
 Rows are identified by ``xxhash64`` over all columns, so inputs are
 assumed row-distinct (the reference keys on its own row ids; a table
 loaded through the engine's catalog always has a unique id column and
-can skip the hash).  Falls back to plain ``spark.sql`` when no supported
-predicate is found — never wrong, only sometimes un-accelerated.
+can skip the hash).  Any doubt at any step ⇒ plain ``spark.sql`` —
+never wrong, only sometimes un-accelerated.
 """
 
 from __future__ import annotations
 
-import re
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_PRED = re.compile(
-    r"(?P<fn>st_within_distance|st_intersects|st_contains|st_within)\s*\(\s*"
-    r"(?P<a>\w+)\.(?P<ag>\w+)\s*,\s*(?P<b>\w+)\.(?P<bg>\w+)\s*"
-    r"(?:,\s*(?P<r>[0-9.eE+-]+)\s*)?\)",
-    re.IGNORECASE,
-)
-
-_FROM = re.compile(
-    r"FROM\s+(?P<t1>\w+)(?:\s+(?:AS\s+)?(?P<a1>\w+))?\s*"
-    r"(?:,|\bJOIN\b)\s*(?P<t2>\w+)(?:\s+(?:AS\s+)?(?P<a2>\w+))?",
-    re.IGNORECASE,
-)
+_SPATIAL_FNS = {"st_within_distance", "st_intersects", "st_contains", "st_within"}
 
 
 def _geom_kind(df: DataFrame, col: str) -> str:
@@ -142,78 +138,218 @@ def _indexed_pairs(
     return None
 
 
-_WHERE = re.compile(
-    r"\bWHERE\b(?P<body>.*?)(?:\bGROUP\s+BY\b|\bORDER\s+BY\b|\bHAVING\b|\bLIMIT\b|$)",
-    re.IGNORECASE | re.DOTALL,
-)
+@dataclass
+class _PredInfo:
+    fn: str
+    a_alias: str
+    a_col: str
+    b_alias: str
+    b_col: str
+    radius: float | None
+    a_table: str = ""
+    b_table: str = ""
 
 
-def _injection_safe(sql: str) -> bool:
-    """The reference only injects when the WHERE clause is exactly one
-    spatial predicate, optionally AND-ed with other conjuncts
-    (SqlQueryRunner.java:164-245 extracts a lone predicate and refuses
-    compound expressions).  Semi-joining the views is only sound when the
-    spatial predicate is a top-level conjunct: under OR/NOT, rows
-    satisfying only the other branch would be pruned away — silently
-    wrong row sets (round-2 verdict #1).  Conservative text check: refuse
-    whenever the WHERE clause contains OR / NOT / CASE, or more than one
-    spatial predicate appears in the query."""
-    if len(_PRED.findall(sql)) != 1:
+def _kids(node):
+    """TreeNode children as a Python list (works for plans and exprs)."""
+    seq = node.children()
+    return [seq.apply(i) for i in range(seq.size())]
+
+
+def _cls(node) -> str:
+    return node.getClass().getSimpleName()
+
+
+def _seq_to_list(seq) -> list[str]:
+    return [str(seq.apply(i)) for i in range(seq.size())]
+
+
+def _walk(node):
+    yield node
+    for k in _kids(node):
+        yield from _walk(k)
+
+
+def _fn_name(expr) -> str | None:
+    """Lower-cased function name of an UnresolvedFunction node."""
+    if _cls(expr) != "UnresolvedFunction":
+        return None
+    parts = _seq_to_list(expr.nameParts())
+    return parts[-1].lower() if parts else None
+
+
+def _spatial_preds(expr):
+    return [e for e in _walk(expr) if (_fn_name(e) or "") in _SPATIAL_FNS]
+
+
+def _only_and_path(root, target) -> bool:
+    """True iff ``target`` is reachable from ``root`` crossing only And
+    nodes (the semi-join prune is sound only for a top-level conjunct:
+    under OR/NOT, rows satisfying only the other branch would be pruned
+    — silently wrong row sets)."""
+    if root is target:
+        return True
+    if _cls(root) != "And":
         return False
-    mw = _WHERE.search(sql)
-    if not mw:
-        # predicate sits in an ON clause; same conjunct rule applies to
-        # the whole ON/WHERE text
-        body = sql
-    else:
-        body = mw.group("body")
-    return not re.search(r"\bOR\b|\bNOT\b|\bCASE\b", body, re.IGNORECASE)
+    return any(_only_and_path(k, target) for k in _kids(root))
+
+
+def _pred_args(pred) -> _PredInfo | None:
+    """Extract (alias.col, alias.col[, literal radius]); None if the
+    arguments are anything else (expressions, unqualified columns)."""
+    args = pred.arguments()
+    n = args.size()
+    fn = _fn_name(pred)
+    if fn == "st_within_distance":
+        if n != 3:
+            return None
+    elif n != 2:
+        return None
+    sides = []
+    for i in (0, 1):
+        a = args.apply(i)
+        if _cls(a) != "UnresolvedAttribute":
+            return None
+        parts = _seq_to_list(a.nameParts())
+        if len(parts) != 2:
+            return None  # unqualified / catalog-qualified — don't guess
+        sides.append(parts)
+    radius = None
+    if n == 3:
+        lit = args.apply(2)
+        if _cls(lit) != "Literal":
+            return None  # non-literal radius — fall back
+        try:
+            radius = float(str(lit.value()))
+        except (TypeError, ValueError):
+            return None
+    return _PredInfo(fn, sides[0][0], sides[0][1], sides[1][0], sides[1][1], radius)
+
+
+def _analyze(spark: SparkSession, sql: str) -> _PredInfo | None:
+    """Parse with Spark's SQL parser and walk the unresolved logical plan.
+    Returns the predicate/relation binding when injection is provably
+    sound, else None.  Soundness requires: exactly two relation
+    references in the WHOLE plan (a third — e.g. in a scalar subquery —
+    would see the pruned view and read a wrong row set), exactly one
+    spatial predicate, that predicate a top-level conjunct of its
+    Filter/Join condition, both arguments alias-qualified columns of the
+    two relations."""
+    plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+
+    rels: list[tuple[str, str]] = []  # (table, alias)
+    conds = []
+
+    def _one_part(rel) -> str | None:
+        parts = _seq_to_list(rel.multipartIdentifier())
+        return parts[0] if len(parts) == 1 else None
+
+    def _collect(node):
+        c = _cls(node)
+        if c == "SubqueryAlias":
+            kid = _kids(node)[0]
+            if _cls(kid) == "UnresolvedRelation":
+                t = _one_part(kid)
+                rels.append((t, str(node.alias())) if t else (None, None))
+                return  # the relation is consumed with its alias
+        elif c == "UnresolvedRelation":
+            t = _one_part(node)
+            rels.append((t, t) if t else (None, None))
+            return
+        elif c == "Filter":
+            conds.append(node.condition())
+        elif c == "Join":
+            opt = node.condition()
+            if opt.isDefined():
+                conds.append(opt.get())
+        for k in _kids(node):
+            _collect(k)
+
+    _collect(plan)
+    if len(rels) != 2 or any(t is None for t, _ in rels):
+        return None  # not exactly two plain one-part relations
+    alias_to_table = {a: t for t, a in rels}
+    if len(alias_to_table) != 2:
+        return None  # duplicate aliases
+
+    found: list[tuple[object, object]] = []  # (condition root, pred node)
+    for cond in conds:
+        for p in _spatial_preds(cond):
+            found.append((cond, p))
+    if len(found) != 1:
+        return None
+    root, pred = found[0]
+    if not _only_and_path(root, pred):
+        return None
+    info = _pred_args(pred)
+    if info is None:
+        return None
+    if {info.a_alias, info.b_alias} != set(alias_to_table):
+        return None  # predicate not between the two FROM relations
+    info.a_table = alias_to_table[info.a_alias]
+    info.b_table = alias_to_table[info.b_alias]
+    return info
 
 
 def run_spatial_sql(spark: SparkSession, sql: str) -> DataFrame:
-    """Execute SQL; if it contains one supported spatial-join predicate
-    between the two FROM relations — as a top-level conjunct — inject the
-    indexed join first.  Any doubt ⇒ plain ``spark.sql`` (never wrong,
-    only un-accelerated)."""
+    """Execute SQL; if the parsed plan contains one supported
+    spatial-join predicate between its two relations — as a top-level
+    conjunct — inject the indexed join first by temporarily swapping the
+    relations for their pruned participating subsets (the reference's
+    relation-swap, SqlQueryRunner.java:109-160) and re-running the SQL
+    unchanged.  Any doubt ⇒ plain ``spark.sql`` (never wrong, only
+    un-accelerated)."""
     from .functions.registry import register_all
 
     register_all(spark)
-    mp = _PRED.search(sql)
-    mf = _FROM.search(sql)
-    if not mp or not mf or not _injection_safe(sql):
+    try:
+        info = _analyze(spark, sql)
+    except Exception:
+        info = None  # any JVM-walk surprise: execute the SQL untouched
+    if info is None:
         return spark.sql(sql)
-    t1, a1 = mf.group("t1"), mf.group("a1") or mf.group("t1")
-    t2, a2 = mf.group("t2"), mf.group("a2") or mf.group("t2")
-    pa, pb = mp.group("a"), mp.group("b")
-    if {pa, pb} != {a1, a2} or a1 == a2:
-        return spark.sql(sql)  # predicate not over the two FROM relations
-    # orient (a, b) of the predicate onto (t1, t2)
-    ta_name, tb_name = (t1, t2) if pa == a1 else (t2, t1)
-    ta, tb = spark.table(ta_name), spark.table(tb_name)
-    radius = float(mp.group("r")) if mp.group("r") else None
-    pairs = _indexed_pairs(spark, ta, mp.group("ag"), tb, mp.group("bg"), mp.group("fn"), radius)
+    ta, tb = spark.table(info.a_table), spark.table(info.b_table)
+    pairs = _indexed_pairs(spark, ta, info.a_col, tb, info.b_col, info.fn, info.radius)
     if pairs is None:
         return spark.sql(sql)
     pairs = pairs.persist()
-    a_sub = _with_rowid(ta, "_aid").join(
-        pairs.select("_aid").distinct(), "_aid", "left_semi"
-    ).drop("_aid")
-    b_sub = _with_rowid(tb, "_bid").join(
-        pairs.select("_bid").distinct(), "_bid", "left_semi"
-    ).drop("_bid")
-    # per-SIDE view names: a self-join (FROM t a, t b) otherwise collapses
-    # both aliases onto one view and drops rows for asymmetric predicates
-    # (round-2 ADVICE) — suffix by predicate side, keyed to the alias
-    side_of = {pa: "a", pb: "b"}
-    v1 = f"{t1}__gw_injected_{side_of[a1]}"
-    v2 = f"{t2}__gw_injected_{side_of[a2]}"
-    (a_sub if pa == a1 else b_sub).createOrReplaceTempView(v1)
-    (b_sub if pa == a1 else a_sub).createOrReplaceTempView(v2)
-    # rewrite ONLY the FROM clause; the (explicit or self-named) aliases
-    # keep every other reference in the query valid
-    def _sub(m: re.Match) -> str:
-        sep = " JOIN " if re.search(r"\bjoin\b", m.group(0), re.IGNORECASE) else ", "
-        return f"FROM {v1} {a1}{sep}{v2} {a2}"
-
-    rewritten = _FROM.sub(_sub, sql, count=1)
-    return spark.sql(rewritten)
+    if info.a_table == info.b_table:
+        # self-join: one physical relation — prune to the UNION of both
+        # sides' participants (a superset per side; the re-run applies
+        # the exact predicate, so extras fall out)
+        ids = pairs.select("_aid").union(
+            pairs.select(F.col("_bid").alias("_aid"))
+        ).distinct()
+        subs = {
+            info.a_table: _with_rowid(ta, "_aid")
+            .join(ids, "_aid", "left_semi")
+            .drop("_aid")
+        }
+    else:
+        subs = {
+            info.a_table: _with_rowid(ta, "_aid")
+            .join(pairs.select("_aid").distinct(), "_aid", "left_semi")
+            .drop("_aid"),
+            info.b_table: _with_rowid(tb, "_bid")
+            .join(pairs.select("_bid").distinct(), "_bid", "left_semi")
+            .drop("_bid"),
+        }
+    # swap → analyze → restore.  spark.sql analyzes EAGERLY, so the
+    # returned DataFrame is bound to the pruned plans; restoring the
+    # original views immediately afterwards cannot change it.
+    temp_names = {
+        t.name for t in spark.catalog.listTables() if t.isTemporary
+    }
+    saved = {
+        name: (spark.table(name) if name in temp_names else None) for name in subs
+    }
+    try:
+        for name, sub in subs.items():
+            sub.createOrReplaceTempView(name)
+        return spark.sql(sql)
+    finally:
+        for name, orig in saved.items():
+            spark.catalog.dropTempView(name)
+            if orig is not None:
+                # the name was itself a temp view — re-register the original
+                orig.createOrReplaceTempView(name)

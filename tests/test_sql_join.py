@@ -188,3 +188,76 @@ class TestInjectionGuards:
             _indexed_pairs(spark, weird, "geom", other, "geom", "st_within_distance", 1.0)
             is None
         )
+
+
+class TestPlanLevelDetection:
+    """r3: detection walks Spark's parsed logical plan (SqlQueryRunner's
+    approach) instead of regexing the SQL text."""
+
+    def test_scalar_subquery_third_relation_falls_back(self, spark, views):
+        # a scalar subquery re-reads sj_points: swapping in the pruned
+        # view would corrupt the count — the 3-relation rule must refuse
+        sql = """
+        SELECT a.pid, b.oid, (SELECT count(*) FROM sj_points) AS total
+        FROM sj_points a, sj_other b
+        WHERE st_within_distance(a.geom, b.geom, 0.5) AND a.kind = 'k1'
+        """
+        got = {tuple(r) for r in run_spatial_sql(spark, sql).collect()}
+        want = {tuple(r) for r in spark.sql(sql).collect()}
+        assert got == want
+        n = spark.table("sj_points").count()
+        assert all(t == n for _, _, t in got)
+
+    def test_qualified_table_name_falls_back(self, spark, views):
+        # db-qualified names are out of swap scope; must still run fine
+        sql = """
+        SELECT a.pid, b.oid FROM sj_points a JOIN sj_other b
+        ON st_within_distance(a.geom, b.geom, 0.5)
+        """
+        base = {tuple(r) for r in run_spatial_sql(spark, sql).collect()}
+        assert base == {tuple(r) for r in spark.sql(sql).collect()}
+
+    def test_expression_argument_falls_back(self, spark, views):
+        # predicate over an expression (not a plain column): no injection,
+        # still correct
+        sql = """
+        SELECT a.pid, b.oid FROM sj_points a, sj_other b
+        WHERE st_within_distance(concat(a.geom, ''), b.geom, 0.5)
+        """
+        got = {tuple(r) for r in run_spatial_sql(spark, sql).collect()}
+        want = {tuple(r) for r in spark.sql(sql).collect()}
+        assert got == want
+
+    def test_views_restored_after_injection(self, spark, views):
+        sql = """
+        SELECT a.pid, b.oid FROM sj_points a, sj_other b
+        WHERE st_within_distance(a.geom, b.geom, 0.5)
+        """
+        n_pts = spark.table("sj_points").count()
+        n_oth = spark.table("sj_other").count()
+        run_spatial_sql(spark, sql).collect()
+        # the session's views must be the ORIGINAL relations afterwards
+        assert spark.table("sj_points").count() == n_pts
+        assert spark.table("sj_other").count() == n_oth
+
+    def test_on_clause_conjunct_with_filter(self, spark, views):
+        sql = """
+        SELECT a.pid, b.oid FROM sj_points a JOIN sj_other b
+        ON st_within_distance(a.geom, b.geom, 0.8) AND a.kind = 'k2'
+        WHERE b.oid % 2 = 0
+        """
+        got = {tuple(r) for r in run_spatial_sql(spark, sql).collect()}
+        want = {tuple(r) for r in spark.sql(sql).collect()}
+        assert got == want
+
+    def test_case_in_other_conjunct_still_injects_correctly(self, spark, views):
+        # the old text check refused any CASE in the WHERE; plan-level
+        # only requires the SPATIAL predicate to be a top-level conjunct
+        sql = """
+        SELECT a.pid, b.oid FROM sj_points a, sj_other b
+        WHERE st_within_distance(a.geom, b.geom, 0.5)
+          AND CASE WHEN a.kind = 'k1' THEN 1 ELSE 0 END = 1
+        """
+        got = {tuple(r) for r in run_spatial_sql(spark, sql).collect()}
+        want = {tuple(r) for r in spark.sql(sql).collect()}
+        assert got == want

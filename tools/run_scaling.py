@@ -59,10 +59,16 @@ def main():
     n_high = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "32"))
     ceiling = measure_cpu_ceiling(n_low, n_high)
     print("cpu ceiling", round(ceiling, 3))
+    # co-tenant contention on this shared VM is the dominant noise source
+    # (r2 measured 0.18–0.52 headline variance across six pairs) — record
+    # the 1-min load average entering each run as evidence of window quality
+    load_before_lo = os.getloadavg()[0]
     lo = run_bench(n_low)
     print(json.dumps(lo))
+    load_before_hi = os.getloadavg()[0]
     hi = run_bench(n_high)
     print(json.dumps(hi))
+    load_after = os.getloadavg()[0]
 
     rows = []
     effs = []
@@ -90,6 +96,11 @@ def main():
         f"Parallelism: local[{n_low}] vs local[{n_high}] (stand-in for N vs 4N executors",
         "per the driver instruction; same input both runs; images parquet pre-materialized",
         "so timings measure the operators, not data generation).",
+        "",
+        f"External-load evidence: 1-min loadavg entering the local[{n_low}] run"
+        f" = {load_before_lo:.2f}, entering local[{n_high}] = {load_before_hi:.2f},"
+        f" after = {load_after:.2f} (own bench load shows in the later numbers;"
+        " values far above the in-use core count indicate a polluted window).",
         "",
         "| query | local[%d] s | local[%d] s | speedup | efficiency |" % (n_low, n_high),
         "|---|---|---|---|---|",
@@ -122,6 +133,23 @@ def main():
     out_name = os.environ.get("SPARK_GRAFT_SCALE_OUT", "BASELINE.md")
     with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         f.write("\n".join(md) + "\n")
+    # machine-readable summary for the quiet-window watcher
+    with open(os.path.join(REPO, "BENCH", "scaling_last.json"), "w") as f:
+        json.dump(
+            {
+                "n_low": n_low,
+                "n_high": n_high,
+                "ceiling": ceiling,
+                "headline_eff": headline_eff,
+                "overall_eff": overall_eff,
+                "load_before_lo": load_before_lo,
+                "load_before_hi": load_before_hi,
+                "load_after": load_after,
+                "lo": lo["queries"],
+                "hi": hi["queries"],
+            },
+            f,
+        )
     print(f"wrote BENCH/{out_name}; overall efficiency", round(overall_eff, 3))
 
 
