@@ -490,9 +490,10 @@ SELECT d AS cell, count(*) AS n FROM {prev} GROUP BY d
 
 
 def q_h3_bin_count(spark, sf_dir):
-    """Hexagonal (H3-scheme aperture-7 icosahedral) binning — rows-only
-    gate like s2 (hex ids are not SQL-expressible; property tests in
-    tests/test_sfc.py::TestHexBinning)."""
+    """Hexagonal (H3-scheme aperture-7 icosahedral) binning — value-gated
+    (r3) against an independent numpy reimplementation of the pinned
+    scheme committed as a VALUES oracle (tools/oracle_values.h3_rows);
+    property tests in tests/test_sfc.py::TestHexBinning."""
     return binned_agg(
         _customer_points(spark, sf_dir),
         [F.count(F.lit(1)).alias("n")],
@@ -1563,6 +1564,9 @@ WHERE rank <= 5
         "kmeans_hulls": _ov().values_sql(
             _ov().kmeans_rows(ORACLE_SF_DIR, CLON, CLAT, k=8),
             "t(cluster, n_points, sum_x, sum_y)",
+        ),
+        "h3_bin_count": _ov().values_sql(
+            _ov().h3_rows(ORACLE_SF_DIR, CLON, CLAT, res=2), "t(h3_cell, n)"
         ),
         "tile_assignment": _tile_assignment_oracle_sql(),
         "sfc_bin_counts": f"""

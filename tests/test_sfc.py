@@ -568,3 +568,32 @@ class TestXZHierarchical:
                 (code[m][:, None] >= lo[None, :]) & (code[m][:, None] <= hi[None, :])
             ).any(axis=1)
             assert covered.all(), f"kind {k}: {(~covered).sum()} uncovered"
+
+
+def test_h3_oracle_twin_matches_engine_kernel():
+    """tools/oracle_values.h3_rows (the committed-VALUES driver oracle) is
+    an independent reimplementation of the pinned aperture-7 scheme — its
+    bin populations must equal the engine kernel's on the real inputs."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import duckdb
+
+    from geowave_spark.sfc.h3hex import hex_cell_id
+    from tools import oracle_values as ov
+
+    sf_dir = "/root/testdata/sf0.001"
+    clon = "-180.0 + (CAST((c_custkey * 48271) % 360000 AS DOUBLE) / 1000.0)"
+    clat = "-90.0 + (CAST((c_custkey * 69621) % 180000 AS DOUBLE) / 1000.0)"
+    pts = duckdb.sql(
+        f"SELECT {clon} AS lon, {clat} AS lat FROM '{sf_dir}/customer.parquet' "
+        "ORDER BY c_custkey"
+    ).fetchall()
+    lon = np.array([p[0] for p in pts])
+    lat = np.array([p[1] for p in pts])
+    for res in (0, 2, 5):
+        cells = hex_cell_id(lon, lat, res=res)
+        vals, counts = np.unique(cells, return_counts=True)
+        want = sorted((int(a), int(b)) for a, b in zip(vals, counts))
+        got = ov.h3_rows(sf_dir, clon, clat, res=res)
+        assert got == want

@@ -72,6 +72,9 @@ def main():
         "embedding_topk",          # broadcast of the small query side
         "window_top_order_per_cust",
         "xz_range_query",          # xz BETWEEN pruning predicates
+        "spatial_kde",             # CRS reprojection fused into binning codegen
+        "spatial_line_distance_join",  # line envelopes through the tiered join
+        "kmeans_hulls",            # deterministic Lloyd iterations
     ]
     lines = [
         "# PLANS.md — physical-plan audit of headline queries",

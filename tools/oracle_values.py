@@ -346,6 +346,85 @@ def kmeans_rows(
     return out
 
 
+def h3_rows(sf_dir: str, clon: str, clat: str, res: int = 2) -> list[tuple[int, int]]:
+    """(cell, n) per hex bin — independent numpy implementation of the
+    engine's pinned aperture-7 icosahedral scheme (geowave_spark/sfc/
+    h3hex.py documents the construction as its spec): icosahedron from
+    the (0, ±1, ±φ) cyclic permutations, faces ordered by rounded
+    (center z, atan2), gnomonic projection onto the nearest face,
+    1/√7-scaled grid rotated res·atan(√3/5), pointy-top axial coords,
+    cube rounding, (res|face|q|r) packing."""
+    import duckdb
+
+    pts = duckdb.sql(
+        f"SELECT {clon} AS lon, {clat} AS lat FROM '{sf_dir}/customer.parquet' "
+        "ORDER BY c_custkey"
+    ).fetchall()
+    lon = np.radians(np.array([p[0] for p in pts]))
+    lat = np.radians(np.array([p[1] for p in pts]))
+
+    phi_g = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = []
+    for a, b in ((1.0, phi_g), (-1.0, phi_g), (1.0, -phi_g), (-1.0, -phi_g)):
+        verts += [(0.0, a, b), (a, b, 0.0), (b, 0.0, a)]
+    verts = np.array(verts)
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    d = np.linalg.norm(verts[:, None, :] - verts[None, :, :], axis=2)
+    edge = np.min(d[d > 1e-9])
+    adj = np.abs(d - edge) < 1e-9
+    tris = [
+        (i, j, k)
+        for i in range(12)
+        for j in range(i + 1, 12)
+        if adj[i, j]
+        for k in range(j + 1, 12)
+        if adj[i, k] and adj[j, k]
+    ]
+    tris = np.array(tris)
+    centers = verts[tris].mean(axis=1)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    order = np.lexsort(
+        (np.arctan2(centers[:, 1], centers[:, 0]).round(9), centers[:, 2].round(9))
+    )
+    centers, tris = centers[order], tris[order]
+    u = verts[tris[:, 0]] - centers * (verts[tris[:, 0]] * centers).sum(
+        axis=1, keepdims=True
+    )
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    v = np.cross(centers, u)
+
+    cl = np.cos(lat)
+    p = np.stack([np.cos(lon) * cl, np.sin(lon) * cl, np.sin(lat)], axis=1)
+    face = np.argmax(p @ centers.T, axis=1)
+    c = centers[face]
+    q3 = p / (p * c).sum(axis=1)[:, None]
+    x = ((q3 - c) * u[face]).sum(axis=1)
+    y = ((q3 - c) * v[face]).sum(axis=1)
+    size = 0.35 / np.sqrt(7.0) ** res
+    ang = res * np.arctan(np.sqrt(3.0) / 5.0)
+    ca, sa = np.cos(ang), np.sin(ang)
+    xr = x * ca + y * sa
+    yr = -x * sa + y * ca
+    qa = (np.sqrt(3.0) / 3.0 * xr - yr / 3.0) / size
+    ra = (2.0 / 3.0 * yr) / size
+    s = -qa - ra
+    qi, ri, si = np.rint(qa), np.rint(ra), np.rint(s)
+    dq, dr, ds = np.abs(qi - qa), np.abs(ri - ra), np.abs(si - s)
+    fix_q = (dq > dr) & (dq > ds)
+    fix_r = ~fix_q & (dr > ds)
+    qi = np.where(fix_q, -ri - si, qi).astype(np.int64)
+    ri = np.where(fix_r, -qi - si, ri).astype(np.int64)
+    off = np.int64(1 << 26)
+    cell = (
+        (np.int64(res) << np.int64(59))
+        | (face.astype(np.int64) << np.int64(54))
+        | ((qi + off) << np.int64(27))
+        | (ri + off)
+    )
+    vals, counts = np.unique(cell, return_counts=True)
+    return sorted((int(a), int(b)) for a, b in zip(vals, counts))
+
+
 def values_sql(rows: list[tuple], cols: str) -> str:
     """Embed rows as a DuckDB VALUES relation: cols like
     "t(id_a, id_b, jaccard)"."""

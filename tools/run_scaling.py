@@ -16,7 +16,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(cpus: int) -> dict:
+def run_bench_once(cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -27,6 +27,25 @@ def run_bench(cpus: int) -> dict:
     )
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
+
+
+def run_bench(cpus: int) -> dict:
+    """Best-of-N per query: co-tenant noise on this shared VM is strictly
+    one-sided (it only ever slows a query down), so the elementwise MIN
+    over repetitions is the unbiased estimator of the engine's time."""
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "1"))
+    best = run_bench_once(cpus)
+    for _ in range(reps - 1):
+        nxt = run_bench_once(cpus)
+        for q, t in nxt["queries"].items():
+            if t < best["queries"].get(q, float("inf")):
+                best["queries"][q] = t
+                for suffix in ("_cold_sec", "_rows_per_sec"):
+                    k = q + suffix
+                    if k in nxt.get("extras", {}):
+                        best["extras"][k] = nxt["extras"][k]
+    best["value"] = round(sum(best["queries"].values()), 3)
+    return best
 
 
 def _burn(_):
@@ -62,9 +81,17 @@ def main():
     # co-tenant contention on this shared VM is the dominant noise source
     # (r2 measured 0.18–0.52 headline variance across six pairs) — record
     # the 1-min load average entering each run as evidence of window quality
+    import time
+
+    quiet = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "2.5"))
     load_before_lo = os.getloadavg()[0]
     lo = run_bench(n_low)
     print(json.dumps(lo))
+    # settle between halves: the 1-min loadavg needs ~2 min to decay from
+    # our own just-finished run, otherwise load_before_hi only measures us
+    t0 = time.time()
+    while os.getloadavg()[0] >= quiet and time.time() - t0 < 240:
+        time.sleep(15)
     load_before_hi = os.getloadavg()[0]
     hi = run_bench(n_high)
     print(json.dumps(hi))
