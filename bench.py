@@ -203,11 +203,11 @@ def main():
         lambda: point_in_polygon_join(pts, regions, "image_id", "region_id").count(),
         rows_in=IMAGES_N + 2000,
     )
-    # level 10 → 2048×1024 grid (~1.9M occupied cells at this input):
-    # compute-bound enough to be a real scaling datapoint, and deep enough
-    # to route the percentile through the bucketed two-pass rank (the
-    # single-window path would serialize it)
-    run("kde_images", lambda: kde(pts, 10).count(), rows_in=IMAGES_N)
+    # level 11 → 4096×2048 grid: the r3 block-local smear made level 10
+    # finish in ~4 s at local[8] (floor-bound — no parallelism left to
+    # measure), so the scaling workload steps one pyramid level deeper;
+    # still routes the percentile through the bucketed two-pass rank
+    run("kde_images", lambda: kde(pts, 11).count(), rows_in=IMAGES_N)
 
     tile_imgs = spark.read.parquet(tile_path)
     n_tiles = run(
