@@ -45,6 +45,7 @@ def checkpointed_write(
     lon: str | None = "lon",
     lat: str | None = "lat",
     stats_fields: list[str] | None = None,
+    histogram_field: tuple[str, float, float] | None = None,
 ) -> dict:
     """Write df partitioned by part_col, skipping already-written partitions.
 
@@ -52,6 +53,10 @@ def checkpointed_write(
     statistics store (``sources/statistics.py`` — count/range/stats/HLL/
     Bloom partials per partition, the reference's statistics-on-write);
     resumed writes only append stats for newly-written partitions.
+    ``histogram_field=(col, lo, hi)`` also appends the fixed-bin
+    histogram partial that powers histogram-balanced split planning
+    (``plans/splits.py``, the reference's RowRangeHistogramStatistics-
+    on-write).
 
     Returns {"written": [...], "skipped": [...]}.
     """
@@ -84,6 +89,11 @@ def checkpointed_write(
             from .statistics import update_statistics
 
             update_statistics(todo_df, path, "part_key", stats_fields)
+        if histogram_field:
+            from ..plans.splits import update_histogram_statistics
+
+            col, lo, hi = histogram_field
+            update_histogram_statistics(todo_df, path, "part_key", col, lo, hi)
     todo_df.unpersist()
     return {"written": sorted(parts), "skipped": sorted(done)}
 

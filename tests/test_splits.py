@@ -89,3 +89,28 @@ def test_binning_disagreement_raises(spark, skewed_df, tmp_path):
     update_histogram_statistics(skewed_df, path, "part", "cell", 0.0, 50_000.0, 512)
     with pytest.raises(ValueError, match="disagree"):
         merged_histogram(spark, path, "cell")
+
+
+def test_catalog_write_maintains_histogram(spark, skewed_df, tmp_path):
+    """checkpointed_write(histogram_field=...) keeps the split histogram
+    current across resumed/incremental writes."""
+    from geowave_spark.plans.splits import equi_depth_bounds
+    from geowave_spark.sources.catalog import checkpointed_write
+
+    path = str(tmp_path / "cat")
+    a = skewed_df.where(F.col("part") < 3)
+    checkpointed_write(
+        a, path, "part", lon=None, lat=None,
+        histogram_field=("cell", 0.0, 100_000.0),
+    )
+    b = skewed_df  # includes already-written partitions: only new ones append
+    checkpointed_write(
+        b, path, "part", lon=None, lat=None,
+        histogram_field=("cell", 0.0, 100_000.0),
+    )
+    from geowave_spark.plans.splits import merged_histogram
+
+    _, _, counts = merged_histogram(spark, path, "cell")
+    assert counts.sum() == skewed_df.count()
+    bounds = equi_depth_bounds(spark, path, "cell", 4)
+    assert len(bounds) == 3 and bounds == sorted(bounds)
