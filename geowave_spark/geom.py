@@ -7,8 +7,13 @@ GeomDistance}.java): point-in-polygon, point↔segment/polygon distance,
 envelope intersection — the fine-filter stage that runs after the coarse
 cell-range join.
 
-Polygons are (N, 2) float arrays of exterior-ring vertices (closed or open;
-holes are out of scope for v1 — the reference fixtures are simple rings).
+Polygons are (N, 2) float arrays of ring vertices.  Interior rings
+(holes) are supported as of r3: ``parse_wkt_multi`` keeps every ring,
+and geometry-level containment is the CROSSING PARITY of strict
+containment across a geometry's closed rings OR exactly-on-boundary —
+one rule that covers exterior+hole rings and disjoint multipolygon
+shells alike (``points_contained_batch``).  The single-ring fast paths
+(``points_in_polygons_batch``) stay as-is for the simple-ring pipelines.
 A minimal WKT POLYGON/POINT parser round-trips the fixture format.
 """
 
@@ -65,9 +70,14 @@ def parse_wkt_multi(wkt: str) -> tuple[str, list[np.ndarray]]:
     elif kind == "MULTILINESTRING":
         parts = [_coords(g) for g in _split_groups(body)]
     elif kind == "POLYGON":
-        parts = [_coords(_split_groups(body)[0])]  # exterior ring only
+        # ALL rings (exterior + interior holes, r3): containment is
+        # crossing PARITY across a geometry's closed rings, which makes
+        # holes and disjoint multipolygon shells one uniform rule
+        parts = [_coords(g) for g in _split_groups(body)]
     elif kind == "MULTIPOLYGON":
-        parts = [_coords(_split_groups(g)[0]) for g in _split_groups(body)]
+        parts = [
+            _coords(ring) for g in _split_groups(body) for ring in _split_groups(g)
+        ]
     else:
         raise ValueError(f"unsupported WKT kind: {kind}")
     return kind, parts
@@ -310,10 +320,16 @@ def _expand_to_parts(codes: np.ndarray, gb: GeomBatch) -> tuple[np.ndarray, np.n
 
 
 def _points_parts_dist2(
-    px: np.ndarray, py: np.ndarray, pcodes: np.ndarray, gb: GeomBatch
+    px: np.ndarray,
+    py: np.ndarray,
+    pcodes: np.ndarray,
+    gb: GeomBatch,
+    interior_zero: bool = True,
 ) -> np.ndarray:
-    """Squared distance from each point to its part (0 inside closed rings;
-    open parts use only their real segments — no wrap edge)."""
+    """Squared distance from each point to its part (0 inside closed rings
+    unless ``interior_zero=False`` — the parity-aware geometry-level
+    callers zero the interior themselves; open parts use only their real
+    segments — no wrap edge)."""
     P = gb.padded[pcodes]
     x1 = P[:, :, 0]
     y1 = P[:, :, 1]
@@ -335,40 +351,62 @@ def _points_parts_dist2(
     cx = x1 + t * dx
     cy = y1 + t * dy
     d2 = ((pxv - cx) ** 2 + (pyv - cy) ** 2).min(axis=1)
+    if interior_zero:
+        cmask = gb.closed[pcodes]
+        if cmask.any():
+            sub = np.nonzero(cmask)[0]
+            ins = points_in_polygons_batch(px[sub], py[sub], pcodes[sub], gb.padded)
+            d2[sub[ins]] = 0.0
+    return d2
+
+
+def points_contained_batch(
+    px: np.ndarray, py: np.ndarray, codes: np.ndarray, gb: GeomBatch
+) -> np.ndarray:
+    """Boundary-inclusive containment in each point's geometry, hole-aware
+    (r3): inside = CROSSING PARITY of strict containment across the
+    geometry's closed rings (odd ⇒ in the filled area — one rule covers
+    exterior+hole rings AND disjoint multipolygon shells) OR exactly on
+    any ring boundary (the hole boundary belongs to the polygon)."""
+    rows, pcodes = _expand_to_parts(codes, gb)
     cmask = gb.closed[pcodes]
+    parity = np.zeros(len(codes), dtype=bool)
+    on_ring = np.zeros(len(codes), dtype=bool)
     if cmask.any():
         sub = np.nonzero(cmask)[0]
-        ins = points_in_polygons_batch(px[sub], py[sub], pcodes[sub], gb.padded)
-        d2[sub[ins]] = 0.0
-    return d2
+        sx, sy = px[rows[sub]], py[rows[sub]]
+        incl = points_in_polygons_batch(sx, sy, pcodes[sub], gb.padded)
+        seg_d2 = _points_parts_dist2(sx, sy, pcodes[sub], gb, interior_zero=False)
+        on = seg_d2 == 0.0
+        np.logical_xor.at(parity, rows[sub], incl & ~on)
+        np.logical_or.at(on_ring, rows[sub], on)
+    return parity | on_ring
 
 
 def points_geoms_dist2_batch(
     px: np.ndarray, py: np.ndarray, codes: np.ndarray, gb: GeomBatch
 ) -> np.ndarray:
-    """Squared distance point → its geometry (min over parts), kind-aware."""
+    """Squared distance point → its geometry, kind- and hole-aware: min
+    over every part's segments, then 0 where the geometry contains the
+    point (parity rule — a point inside a hole keeps its distance to the
+    hole boundary instead of snapping to 0)."""
     rows, pcodes = _expand_to_parts(codes, gb)
-    d2 = _points_parts_dist2(px[rows], py[rows], pcodes, gb)
+    d2 = _points_parts_dist2(px[rows], py[rows], pcodes, gb, interior_zero=False)
     out = np.full(len(codes), np.inf, dtype=np.float64)
     np.minimum.at(out, rows, d2)
+    out[points_contained_batch(px, py, codes, gb)] = 0.0
     return out
 
 
 def points_intersect_geoms_batch(
     px: np.ndarray, py: np.ndarray, codes: np.ndarray, gb: GeomBatch
 ) -> np.ndarray:
-    """Point INTERSECTS geometry: containment (boundary-inclusive, exact
-    cross-product test) for closed parts; exact on-segment (d² == 0) for
-    open parts; coordinate equality for point parts."""
+    """Point INTERSECTS geometry: hole-aware parity containment for the
+    closed rings; exact on-segment (d² == 0) for open parts; coordinate
+    equality for point parts."""
     rows, pcodes = _expand_to_parts(codes, gb)
     hit = np.zeros(len(rows), dtype=bool)
-    cmask = gb.closed[pcodes]
-    if cmask.any():
-        sub = np.nonzero(cmask)[0]
-        hit[sub] = points_in_polygons_batch(
-            px[rows[sub]], py[rows[sub]], pcodes[sub], gb.padded
-        )
-    omask = ~cmask
+    omask = ~gb.closed[pcodes]
     if omask.any():
         sub = np.nonzero(omask)[0]
         hit[sub] = (
@@ -376,7 +414,7 @@ def points_intersect_geoms_batch(
         )
     out = np.zeros(len(codes), dtype=bool)
     np.logical_or.at(out, rows, hit)
-    return out
+    return out | points_contained_batch(px, py, codes, gb)
 
 
 def _part_edges(p: np.ndarray, closed: bool) -> tuple[np.ndarray, np.ndarray]:
