@@ -45,6 +45,18 @@ def get_spark(
             "spark.shuffle.spill.compress",
             os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"),
         )
+        # no-combine shuffles (repartition/exchange) with ≤200 partitions
+        # default to the bypass-merge writer: one FILE PER REDUCE PARTITION
+        # per map task (128 parts × 128 tasks ⇒ 16k creates+deletes), whose
+        # directory-op contention serializes 32 concurrent writers (shuffle
+        # write time profiled 8 s → 42 s going 8→32 cores on the KDE halo
+        # exchange).  Forcing the single-file sort writer removes the
+        # per-partition file fan-out; on a real cluster the same setting
+        # avoids inode storms on dense executors.
+        .config(
+            "spark.shuffle.sort.bypassMergeThreshold",
+            os.environ.get("SPARK_GRAFT_BYPASS_THRESHOLD", "4"),
+        )
         .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")

@@ -81,7 +81,7 @@ def main():
     if WHICH in ("kde", "both"):
         from geowave_spark.operators.kde import kde
 
-        run2("kde", lambda: kde(pts, 10).count())
+        run2("kde", lambda: kde(pts, int(os.environ.get("SPARK_GRAFT_KDE_LEVEL", "11"))).count())
 
     print(json.dumps({"cpus": CPUS, "warm": marks}))
     spark.stop()
