@@ -34,27 +34,25 @@ from ..geom import (
     GeomBatch,
     geom_is_closed,
     geoms_pair_dist2,
-    pad_rings,
-    parse_wkt,
     parse_wkt_multi,
     points_geoms_dist2_batch,
-    points_in_polygons_batch,
     points_intersect_geoms_batch,
-    points_polygons_dist2_batch,
     polygon_envelope,
-    rings_edges_intersect,
 )
 
-_PARSE_CACHE: dict[str, tuple[str, np.ndarray]] = {}
 _PARSE_MULTI_CACHE: dict[str, tuple[str, list[np.ndarray]]] = {}
+_PREPARED_CACHE: dict[str, object] = {}
 
 
-def _parse(w: str) -> tuple[str, np.ndarray]:
-    g = _PARSE_CACHE.get(w)
+def _prepared(w: str):
+    """WKT → PreparedGeom (exact DE-9IM machinery), per-executor cache."""
+    g = _PREPARED_CACHE.get(w)
     if g is None:
-        g = parse_wkt(w)
-        if len(_PARSE_CACHE) < 500_000:
-            _PARSE_CACHE[w] = g
+        from ..relate import prepare
+
+        g = prepare(_parse_multi(w))
+        if len(_PREPARED_CACHE) < 200_000:
+            _PREPARED_CACHE[w] = g
     return g
 
 
@@ -130,15 +128,6 @@ def _intersects_pair(a, b) -> bool:
     return geoms_pair_dist2(pa, ca, pb, cb_) == 0.0
 
 
-def _wkt_of(g) -> str:
-    kind, coords = g
-    if kind == "POINT":
-        return f"POINT ({coords[0][0]:.17g} {coords[0][1]:.17g})"
-    from ..geom import polygon_wkt
-
-    return polygon_wkt(coords)
-
-
 def register_all(spark: SparkSession) -> None:
     """Register every ST function with the session (idempotent)."""
 
@@ -158,43 +147,50 @@ def register_all(spark: SparkSession) -> None:
     def st_disjoint(a: pd.Series, b: pd.Series) -> pd.Series:
         return pd.Series([not _intersects_pair(_parse_multi(x), _parse_multi(y)) for x, y in zip(a, b)])
 
-    def _contains_pair(ga, gb) -> bool:
-        """a CONTAINS b: closed a, any-kind b — every vertex of b inside a
-        (boundary-inclusive) and no proper boundary crossing (vertex-sample
-        approximation of JTS covers(), exact for the convex fixtures)."""
-        from ..geom import rings_edges_proper_cross
-
-        (ka, pa), (kb, pb) = ga, gb
-        if not geom_is_closed(ka):
-            return False
-        batch = GeomBatch([ga])
-        vb = np.vstack(pb)
-        if not points_intersect_geoms_batch(
-            vb[:, 0], vb[:, 1], np.zeros(len(vb), np.int64), batch
-        ).all():
-            return False
-        if kb == "POINT" or kb == "MULTIPOINT":
-            return True
-        cb_ = geom_is_closed(kb)
-        return not any(
-            rings_edges_proper_cross(b_part, a_part, closed_a=cb_, closed_b=True)
-            for b_part in pb
-            for a_part in pa
-            if len(b_part) > 1
-        )
-
     @F.pandas_udf(BooleanType())
     def st_contains(a: pd.Series, b: pd.Series) -> pd.Series:
-        """a CONTAINS b — polygon a; point/line/polygon b."""
+        """a CONTAINS b — exact JTS semantics (DE-9IM [T*****FF*]) for any
+        kind pair via :mod:`geowave_spark.relate` (r3: replaces the
+        vertex-sample approximation)."""
+        from ..relate import relate_contains
+
         return pd.Series(
-            [_contains_pair(_parse_multi(x), _parse_multi(y)) for x, y in zip(a, b)]
+            [relate_contains(_prepared(x), _prepared(y)) for x, y in zip(a, b)]
         )
 
     @F.pandas_udf(BooleanType())
     def st_within(a: pd.Series, b: pd.Series) -> pd.Series:
         """a WITHIN b — mirror of contains."""
+        from ..relate import relate_contains
+
         return pd.Series(
-            [_contains_pair(_parse_multi(y), _parse_multi(x)) for x, y in zip(a, b)]
+            [relate_contains(_prepared(y), _prepared(x)) for x, y in zip(a, b)]
+        )
+
+    @F.pandas_udf(BooleanType())
+    def st_covers(a: pd.Series, b: pd.Series) -> pd.Series:
+        """a COVERS b: no point of b in a's exterior (GeomCovers parity)."""
+        from ..relate import relate_covers
+
+        return pd.Series(
+            [relate_covers(_prepared(x), _prepared(y)) for x, y in zip(a, b)]
+        )
+
+    @F.pandas_udf(BooleanType())
+    def st_covered_by(a: pd.Series, b: pd.Series) -> pd.Series:
+        from ..relate import relate_covers
+
+        return pd.Series(
+            [relate_covers(_prepared(y), _prepared(x)) for x, y in zip(a, b)]
+        )
+
+    @F.pandas_udf(BooleanType())
+    def st_equals(a: pd.Series, b: pd.Series) -> pd.Series:
+        """Topological equality (covers both ways — GeomEquals parity)."""
+        from ..relate import relate_equals
+
+        return pd.Series(
+            [relate_equals(_prepared(x), _prepared(y)) for x, y in zip(a, b)]
         )
 
     @F.pandas_udf(StringType())
@@ -217,6 +213,9 @@ def register_all(spark: SparkSession) -> None:
         ("st_disjoint", st_disjoint),
         ("st_contains", st_contains),
         ("st_within", st_within),
+        ("st_covers", st_covers),
+        ("st_covered_by", st_covered_by),
+        ("st_equals", st_equals),
         ("st_envelope", st_envelope),
     ]:
         spark.udf.register(name, fn)
@@ -288,102 +287,36 @@ def register_all(spark: SparkSession) -> None:
 
     @F.pandas_udf(BooleanType())
     def st_overlaps(a: pd.Series, b: pd.Series) -> pd.Series:
-        """Polygon/polygon OVERLAPS: interiors intersect, neither covers the
-        other (GWQL OVERLAPS; JTS semantics approximated on vertices).
-        Defined for closed×closed only — mixed-dimension pairs (any
-        point/line input) are false, matching JTS dimension rules."""
-        out = np.zeros(len(a), dtype=bool)
-        for i, (x, y) in enumerate(zip(a, b)):
-            ka, kb = _parse_multi(x)[0], _parse_multi(y)[0]
-            if not (geom_is_closed(ka) and geom_is_closed(kb)):
-                continue
-            ga, gb = _parse(x), _parse(y)
-            ina = points_in_polygons_batch(
-                ga[1][:, 0], ga[1][:, 1], np.zeros(len(ga[1]), int), pad_rings([gb[1]])
-            )
-            inb = points_in_polygons_batch(
-                gb[1][:, 0], gb[1][:, 1], np.zeros(len(gb[1]), int), pad_rings([ga[1]])
-            )
-            inter = ina.any() or inb.any() or rings_edges_intersect(ga[1], gb[1])
-            out[i] = bool(inter and not ina.all() and not inb.all())
-        return pd.Series(out)
+        """JTS OVERLAPS, exact for every same-dimension kind pair (r3:
+        DE-9IM via geowave_spark.relate — interiors intersect, each has
+        interior outside the other; line pairs additionally require a
+        1-D shared piece).  Mixed-dimension pairs are false (JTS rule)."""
+        from ..relate import relate_overlaps
+
+        return pd.Series(
+            [relate_overlaps(_prepared(x), _prepared(y)) for x, y in zip(a, b)]
+        )
 
     @F.pandas_udf(BooleanType())
     def st_touches(a: pd.Series, b: pd.Series) -> pd.Series:
-        """Boundaries meet but interiors do not overlap (vertex-sample
-        approximation of JTS TOUCHES)."""
-        out = np.zeros(len(a), dtype=bool)
-        for i, (x, y) in enumerate(zip(a, b)):
-            if not _intersects_pair(_parse_multi(x), _parse_multi(y)):
-                continue
-            ga, gb = _parse(x), _parse(y)
-            if ga[0] not in ("POINT", "POLYGON") or gb[0] not in ("POINT", "POLYGON"):
-                # touches is defined here for point/polygon pairs only
-                continue
-            if ga[0] == "POINT" or gb[0] == "POINT":
-                # point touches a polygon iff it sits on the boundary
-                p, poly = (ga, gb) if ga[0] == "POINT" else (gb, ga)
-                if poly[0] == "POINT":
-                    continue
-                d2 = points_polygons_dist2_batch(
-                    p[1][:1, 0], p[1][:1, 1], np.zeros(1, int), pad_rings([poly[1]])
-                )
-                ring = poly[1][:-1] if np.array_equal(poly[1][0], poly[1][-1]) else poly[1]
-                from ..geom import points_segments_dist2
+        """JTS TOUCHES, exact for every kind pair (r3): the geometries
+        intersect but their interiors do not."""
+        from ..relate import relate_touches
 
-                bd2 = points_segments_dist2(p[1][:1, 0], p[1][:1, 1], ring)
-                out[i] = bool(bd2[0] == 0.0)
-                continue
-            ina = points_in_polygons_batch(
-                ga[1][:, 0], ga[1][:, 1], np.zeros(len(ga[1]), int), pad_rings([gb[1]])
-            )
-            inb = points_in_polygons_batch(
-                gb[1][:, 0], gb[1][:, 1], np.zeros(len(gb[1]), int), pad_rings([ga[1]])
-            )
-            # all contact on boundaries: no vertex strictly interior and no
-            # PROPER edge crossing (collinear shared edges still touch)
-            from ..geom import points_segments_dist2, rings_edges_proper_cross
-
-            ringb = gb[1][:-1] if np.array_equal(gb[1][0], gb[1][-1]) else gb[1]
-            ringa = ga[1][:-1] if np.array_equal(ga[1][0], ga[1][-1]) else ga[1]
-            da = points_segments_dist2(ga[1][:, 0], ga[1][:, 1], ringb)
-            db = points_segments_dist2(gb[1][:, 0], gb[1][:, 1], ringa)
-            strict_a = ina & (da > 0.0)
-            strict_b = inb & (db > 0.0)
-            out[i] = bool(
-                not strict_a.any()
-                and not strict_b.any()
-                and not rings_edges_proper_cross(ga[1], gb[1])
-            )
-        return pd.Series(out)
+        return pd.Series(
+            [relate_touches(_prepared(x), _prepared(y)) for x, y in zip(a, b)]
+        )
 
     @F.pandas_udf(BooleanType())
     def st_crosses(a: pd.Series, b: pd.Series) -> pd.Series:
-        """LINESTRING×POLYGON crosses: the line passes through the polygon's
-        interior and exterior (other kind pairs are always false, matching
-        JTS dimension rules for point/polygon inputs)."""
-        out = np.zeros(len(a), dtype=bool)
-        for i, (x, y) in enumerate(zip(a, b)):
-            ga, gb = _parse(x), _parse(y)
-            line, poly = None, None
-            if ga[0] == "LINESTRING" and gb[0] == "POLYGON":
-                line, poly = ga[1], gb[1]
-            elif gb[0] == "LINESTRING" and ga[0] == "POLYGON":
-                line, poly = gb[1], ga[1]
-            if line is None:
-                continue
-            from ..geom import rings_edges_proper_cross
+        """JTS CROSSES, exact for every kind pair (r3): interiors share a
+        lower-dimensional piece — point-set × line/polygon, line × line at
+        isolated points, line × polygon through the interior."""
+        from ..relate import relate_crosses
 
-            inside = points_in_polygons_batch(
-                line[:, 0], line[:, 1], np.zeros(len(line), int), pad_rings([poly])
-            )
-            # vertex on each side, or a proper boundary crossing (handles
-            # lines whose endpoints are all outside the polygon)
-            out[i] = bool(
-                (inside.any() and not inside.all())
-                or rings_edges_proper_cross(line, poly, closed_a=False, closed_b=True)
-            )
-        return pd.Series(out)
+        return pd.Series(
+            [relate_crosses(_prepared(x), _prepared(y)) for x, y in zip(a, b)]
+        )
 
     for name, fn in [
         ("st_bbox", st_bbox),
