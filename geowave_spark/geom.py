@@ -47,10 +47,10 @@ def parse_wkt_multi(wkt: str) -> tuple[str, list[np.ndarray]]:
     (N, 2) float array.
 
     Supported: POINT, MULTIPOINT, LINESTRING, MULTILINESTRING, POLYGON,
-    MULTIPOLYGON (exterior rings only — holes are out of scope, matching
-    the reference fixtures' simple rings).  The distinction this parser
-    preserves — and :func:`parse_wkt` loses — is *which* parts are open
-    polylines vs closed rings: the reference's flagship join fixture is
+    MULTIPOLYGON — all rings kept (exterior + interior holes; containment
+    is crossing parity across the closed rings).  The distinction this
+    parser preserves — and :func:`parse_wkt` loses — is *which* parts are
+    open polylines vs closed rings: the reference's flagship join fixture is
     point × LINESTRING within-distance (GeoWaveSparkSpatialJoinIT.java:
     111-172, hail × tornado_tracks), where closing the line into a
     phantom ring gives silently wrong distances.

@@ -688,11 +688,18 @@ def geom_pair_join(
     radius: float | None = None,
     strategy: TieredStrategy = DEFAULT_STRATEGY,
     max_duplicates: int = JOIN_MAX_DUPLICATES,
+    predicate: str | None = None,
 ) -> DataFrame:
     """Extended-geometry × extended-geometry join (polygon×polygon,
     line×polygon, …): INTERSECTS when ``radius`` is None, else
     within-distance — TieredSpatialJoin's general case
     (TieredSpatialJoin.java:76-551 accepts arbitrary JTS geometry pairs).
+
+    ``predicate`` swaps the fine filter for any exact DE-9IM relation
+    (touches / crosses / overlaps / contains / within / covers /
+    covered_by / equals — the SpatialJoinRunner GeomFunction parameter);
+    the coarse cell phase is unchanged because every one of these
+    relations implies envelope intersection.
 
     Plan: both sides cell-explode (build side at its natural tiers with
     trimIndexIds pruning; probe side re-covered at each distinct build
@@ -706,6 +713,10 @@ def geom_pair_join(
     build WKT per Arrow batch so each distinct geometry parses once per
     batch.
     """
+    if predicate is not None and radius is not None:
+        raise ValueError(
+            "predicate joins take no radius (use radius= for within-distance)"
+        )
     buffer = radius or 0.0
     build = explode_polygon_cells(
         right.select(F.col(right_id).alias("_gid"), F.col(right_wkt).alias("_gwkt")),
@@ -734,7 +745,11 @@ def geom_pair_join(
         ).limit(0).crossJoin(right.select(F.col(right_id).alias(right_id)).limit(0))
     return (
         probe.join(build.hint("shuffle_hash"), ["tier", "cell"])
-        .where(_geom_pair_match_udf(radius)(F.col("_pwkt"), F.col("_gwkt")))
+        .where(
+            _geom_pair_match_udf(radius, predicate)(
+                F.col("_pwkt"), F.col("_gwkt")
+            )
+        )
         .select(F.col("_pid").alias(left_id), F.col("_gid").alias(right_id))
         .dropDuplicates([left_id, right_id])
     )
@@ -773,13 +788,62 @@ def _explode_wkt_envelope_cells(
     return src.mapInPandas(_gen, out_schema)
 
 
-def _geom_pair_match_udf(radius: float | None):
+def _geom_pair_match_udf(radius: float | None, predicate: str | None = None):
     """Pandas UDF: (wkt_a, wkt_b) → exact pair predicate for extended
     geometries.  Factorizes both columns so each distinct geometry parses
     once per batch; the pair evaluation itself is per-candidate (bounded by
     the cell join's selectivity), each pair running the vectorized
-    vertex/edge kernels."""
+    vertex/edge kernels.
+
+    ``predicate`` selects the exact DE-9IM relation (the reference's
+    SpatialJoinRunner GeomFunction parameter, GeomFunction.java subtypes):
+    touches / crosses / overlaps / contains / within / covers /
+    covered_by / equals / intersects; None = distance semantics."""
     r2 = 0.0 if radius is None else radius * radius
+
+    if predicate is not None and predicate != "intersects":
+        from ..relate import (
+            relate_contains,
+            relate_covers,
+            relate_crosses,
+            relate_equals,
+            relate_intersects,
+            relate_overlaps,
+            relate_touches,
+        )
+
+        fns = {
+            "touches": relate_touches,
+            "crosses": relate_crosses,
+            "overlaps": relate_overlaps,
+            "contains": relate_contains,
+            "within": lambda a, b: relate_contains(b, a),
+            "covers": relate_covers,
+            "covered_by": lambda a, b: relate_covers(b, a),
+            "equals": relate_equals,
+            "intersects": relate_intersects,
+        }
+        if predicate not in fns:
+            raise ValueError(f"unknown join predicate: {predicate}")
+        fn = fns[predicate]
+
+        @F.pandas_udf("boolean")
+        def _mr(wa: pd.Series, wb: pd.Series) -> pd.Series:
+            from ..geom import parse_wkt_multi
+            from ..relate import prepare
+
+            cache: dict[str, object] = {}
+
+            def p(w):
+                g = cache.get(w)
+                if g is None:
+                    g = prepare(parse_wkt_multi(w))
+                    cache[w] = g
+                return g
+
+            return pd.Series([bool(fn(p(x), p(y))) for x, y in zip(wa, wb)])
+
+        return _mr
 
     @F.pandas_udf("boolean")
     def _m(wa: pd.Series, wb: pd.Series) -> pd.Series:

@@ -16,8 +16,9 @@ arguments silently defeated):
 1. parse the SQL with Spark's own parser
    (``sessionState().sqlParser().parsePlan``) and walk the unresolved
    logical plan: exactly two relation references, exactly one supported
-   spatial predicate — ``st_within_distance(a.g, b.g, r)``,
-   ``st_contains/st_within/st_intersects(a.g, b.g)`` — sitting in a
+   spatial predicate — ``st_within_distance(a.g, b.g, r)`` or any
+   DE-9IM relation (``st_contains/st_within/st_intersects/st_touches/
+   st_crosses/st_overlaps/st_covers/st_covered_by/st_equals``) — sitting in a
    Filter/Join condition reachable from the condition root only through
    ``And`` (the reference's exactly-one-top-level-conjunct rule,
    SqlQueryRunner.java:164-245);
@@ -44,7 +45,22 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_SPATIAL_FNS = {"st_within_distance", "st_intersects", "st_contains", "st_within"}
+_SPATIAL_FNS = {
+    "st_within_distance",
+    "st_intersects",
+    "st_contains",
+    "st_within",
+    # r3: the whole DE-9IM family — every one of these relations implies
+    # the pair intersects, so the intersects-superset prune below is a
+    # valid participant filter and the re-run re-evaluates the exact
+    # predicate over the pruned views
+    "st_touches",
+    "st_crosses",
+    "st_overlaps",
+    "st_covers",
+    "st_covered_by",
+    "st_equals",
+}
 
 
 def _geom_kind(df: DataFrame, col: str) -> str:
@@ -121,16 +137,17 @@ def _indexed_pairs(
         return geom_pair_join(
             a, b, "_aid", "_bid", left_wkt=ga, right_wkt=gb, radius=radius
         )
-    # containment / intersection family
+    # topological family (contains/within/intersects/touches/crosses/
+    # overlaps/covers/equals): participants are pruned to the INTERSECTS
+    # superset — every DE-9IM relation above implies intersection — and
+    # the re-run evaluates the exact predicate over the pruned views
     if ka != "POINT" and kb != "POINT":
-        # superset prune: any contains/within/intersects pair intersects
         return geom_pair_join(a, b, "_aid", "_bid", left_wkt=ga, right_wkt=gb)
-    if fn == "st_contains" or (fn == "st_intersects" and ka != "POINT"):
-        # a's geometries contain/intersect b's points
+    if kb == "POINT" and ka != "POINT":
         return geometry_intersects_join(
             _point_lonlat(b, gb), a, "_bid", "_aid", lon="_gwlon", lat="_gwlat", wkt=ga
         ).select("_aid", "_bid")
-    if fn in ("st_within", "st_intersects") and kb != "POINT":
+    if ka == "POINT" and kb != "POINT":
         return geometry_intersects_join(
             _point_lonlat(a, ga), b, "_aid", "_bid", lon="_gwlon", lat="_gwlat", wkt=gb
         )

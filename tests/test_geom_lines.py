@@ -345,3 +345,124 @@ def _seg_hits_rect(p, q, x0, y0, x1, y1):
         else:
             t1 = min(t1, r)
     return t0 <= t1
+
+
+def _lattice_rects_pdf(n, seed, prefix):
+    """Integer-lattice rectangles: shared edges, exact containments and
+    duplicates occur with high frequency, exercising every DE-9IM branch."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        x0 = int(rng.integers(0, 12))
+        y0 = int(rng.integers(0, 12))
+        w = int(rng.integers(1, 4))
+        h = int(rng.integers(1, 4))
+        wkt = (
+            f"POLYGON (({x0} {y0}, {x0 + w} {y0}, {x0 + w} {y0 + h}, "
+            f"{x0} {y0 + h}, {x0} {y0}))"
+        )
+        rows.append((f"{prefix}{i:05d}", wkt, x0, y0, x0 + w, y0 + h))
+    return pd.DataFrame(rows, columns=["gid", "wkt", "x0", "y0", "x1", "y1"])
+
+
+class TestPredicateJoin:
+    """geom_pair_join(predicate=…) — the SpatialJoinRunner GeomFunction
+    parameter — against closed-form axis-aligned-rectangle oracles."""
+
+    NA, NB = 120, 110
+
+    @pytest.fixture(scope="class")
+    def ra(self):
+        return _lattice_rects_pdf(self.NA, 31, "a")
+
+    @pytest.fixture(scope="class")
+    def rb(self):
+        return _lattice_rects_pdf(self.NB, 32, "b")
+
+    @staticmethod
+    def _flags(ra, rb):
+        ax0 = ra["x0"].to_numpy()[:, None]; ax1 = ra["x1"].to_numpy()[:, None]
+        ay0 = ra["y0"].to_numpy()[:, None]; ay1 = ra["y1"].to_numpy()[:, None]
+        bx0 = rb["x0"].to_numpy()[None, :]; bx1 = rb["x1"].to_numpy()[None, :]
+        by0 = rb["y0"].to_numpy()[None, :]; by1 = rb["y1"].to_numpy()[None, :]
+        closures = (ax0 <= bx1) & (bx0 <= ax1) & (ay0 <= by1) & (by0 <= ay1)
+        interiors = (
+            (np.minimum(ax1, bx1) > np.maximum(ax0, bx0))
+            & (np.minimum(ay1, by1) > np.maximum(ay0, by0))
+        )
+        a_covers_b = (ax0 <= bx0) & (ax1 >= bx1) & (ay0 <= by0) & (ay1 >= by1)
+        b_covers_a = (bx0 <= ax0) & (bx1 >= ax1) & (by0 <= ay0) & (by1 >= ay1)
+        return closures, interiors, a_covers_b, b_covers_a
+
+    def _check(self, spark, ra, rb, predicate, want_mask):
+        da = spark.createDataFrame(ra[["gid", "wkt"]]).withColumnRenamed("gid", "aid")
+        db = spark.createDataFrame(rb[["gid", "wkt"]]).withColumnRenamed("gid", "bid")
+        got = {
+            tuple(r)
+            for r in geom_pair_join(da, db, "aid", "bid", predicate=predicate).collect()
+        }
+        ii, jj = np.nonzero(want_mask)
+        want = {(ra["gid"].iloc[i], rb["gid"].iloc[j]) for i, j in zip(ii, jj)}
+        assert got == want, f"{predicate}: {len(got)} vs {len(want)}"
+        assert len(want) >= 2, f"oracle degenerate for {predicate}"
+
+    def test_touches(self, spark, ra, rb):
+        cl, ii, _, _ = self._flags(ra, rb)
+        self._check(spark, ra, rb, "touches", cl & ~ii)
+
+    def test_overlaps(self, spark, ra, rb):
+        cl, ii, acb, bca = self._flags(ra, rb)
+        self._check(spark, ra, rb, "overlaps", ii & ~acb & ~bca)
+
+    def test_contains(self, spark, ra, rb):
+        _, _, acb, _ = self._flags(ra, rb)
+        self._check(spark, ra, rb, "contains", acb)
+
+    def test_within(self, spark, ra, rb):
+        _, _, _, bca = self._flags(ra, rb)
+        self._check(spark, ra, rb, "within", bca)
+
+    def test_equals(self, spark, ra, rb):
+        _, _, acb, bca = self._flags(ra, rb)
+        self._check(spark, ra, rb, "equals", acb & bca)
+
+    def test_crosses_line_polygon(self, spark, ra):
+        """Vertical unit-step lines × lattice rects: crosses ⇔ the line's
+        open interior meets both the rect's interior and its exterior."""
+        rows = []
+        rng = np.random.default_rng(33)
+        for i in range(150):
+            x = int(rng.integers(0, 13))
+            y = int(rng.integers(-1, 12))
+            rows.append((f"l{i:04d}", f"LINESTRING ({x} {y}, {x} {y + 3})", x, y))
+        lines = pd.DataFrame(rows, columns=["gid", "wkt", "lx", "ly"])
+        da = spark.createDataFrame(lines[["gid", "wkt"]]).withColumnRenamed("gid", "aid")
+        db = spark.createDataFrame(ra[["gid", "wkt"]]).withColumnRenamed("gid", "bid")
+        got = {
+            tuple(r)
+            for r in geom_pair_join(da, db, "aid", "bid", predicate="crosses").collect()
+        }
+        want = set()
+        for _, l in lines.iterrows():
+            ly0, ly1 = l.ly, l.ly + 3
+            for j in range(len(ra)):
+                x0, y0, x1, y1 = (
+                    ra["x0"].iloc[j], ra["y0"].iloc[j], ra["x1"].iloc[j], ra["y1"].iloc[j]
+                )
+                # vertical line at lx strictly inside (x0, x1): interior
+                # segment inside the rect iff y-ranges overlap openly
+                if not (x0 < l.lx < x1):
+                    continue
+                inter_lo, inter_hi = max(ly0, y0), min(ly1, y1)
+                entered = inter_lo < inter_hi
+                exits = ly0 < y0 or ly1 > y1
+                if entered and exits:
+                    want.add((l.gid, ra["gid"].iloc[j]))
+        assert got == want
+        assert len(want) > 3
+
+    def test_radius_with_predicate_rejected(self, spark, ra, rb):
+        da = spark.createDataFrame(ra[["gid", "wkt"]]).withColumnRenamed("gid", "aid")
+        db = spark.createDataFrame(rb[["gid", "wkt"]]).withColumnRenamed("gid", "bid")
+        with pytest.raises(ValueError):
+            geom_pair_join(da, db, "aid", "bid", radius=1.0, predicate="touches")

@@ -261,3 +261,30 @@ class TestPlanLevelDetection:
         got = {tuple(r) for r in run_spatial_sql(spark, sql).collect()}
         want = {tuple(r) for r in spark.sql(sql).collect()}
         assert got == want
+
+
+class TestDe9imInjection:
+    """r3: the full DE-9IM family injects via the intersects-superset
+    prune; results must equal the un-injected spark.sql in every case."""
+
+    @pytest.mark.parametrize(
+        "pred",
+        ["st_touches", "st_crosses", "st_overlaps", "st_covers", "st_equals"],
+    )
+    def test_point_region_predicates_match_direct(self, spark, views, pred):
+        sql = (
+            f"SELECT a.pid, r.rid FROM sj_points a JOIN sj_regions r "
+            f"ON {pred}(r.geom, a.geom)"
+        )
+        got = {tuple(r) for r in run_spatial_sql(spark, sql).collect()}
+        want = {tuple(r) for r in spark.sql(sql).collect()}
+        assert got == want
+
+    def test_region_region_touches_matches_direct(self, spark, views):
+        sql = (
+            "SELECT r1.rid a, r2.rid b FROM sj_regions r1 JOIN sj_regions r2 "
+            "ON st_overlaps(r1.geom, r2.geom) WHERE r1.rid < r2.rid"
+        )
+        got = {tuple(r) for r in run_spatial_sql(spark, sql).collect()}
+        want = {tuple(r) for r in spark.sql(sql).collect()}
+        assert got == want and len(want) > 0

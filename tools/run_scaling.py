@@ -73,11 +73,47 @@ def measure_cpu_ceiling(n_low: int, n_high: int) -> float:
     return (rates[n_high] / rates[n_low]) / (n_high / n_low)
 
 
+def _triad(_):
+    import time
+
+    import numpy as np
+
+    n = 8_000_000  # 3 × 64 MB streams — far beyond LLC, pure DRAM traffic
+    b = np.ones(n)
+    c = np.ones(n)
+    a = b + 2.5 * c  # warm allocator + pages
+    t0 = time.time()
+    it = 0
+    while time.time() - t0 < 2.0:
+        a = b + 2.5 * c
+        it += 1
+    return it * n * 3 * 8 / (time.time() - t0)
+
+
+def measure_bandwidth_ceiling(n_low: int, n_high: int) -> tuple[float, float, float]:
+    """Memory-bandwidth scaling ceiling: a STREAM-triad numpy kernel at
+    both process counts.  A single box shares one memory subsystem across
+    all cores — aggregate bandwidth saturates (measured ~54 GB/s here) —
+    while a real cluster adds memory controllers with every node, so
+    bandwidth-bound work that cannot scale 8→32 cores HERE scales
+    node-for-node THERE.  Returns (efficiency, GB/s low, GB/s high)."""
+    import multiprocessing as mp
+
+    rates = {}
+    for n in (n_low, n_high):
+        with mp.Pool(n) as p:
+            r = p.map(_triad, range(n))
+        rates[n] = sum(r)
+    eff = (rates[n_high] / rates[n_low]) / (n_high / n_low)
+    return eff, rates[n_low] / 1e9, rates[n_high] / 1e9
+
+
 def main():
     n_low = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "8"))
     n_high = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "32"))
     ceiling = measure_cpu_ceiling(n_low, n_high)
-    print("cpu ceiling", round(ceiling, 3))
+    bw_ceiling, bw_lo, bw_hi = measure_bandwidth_ceiling(n_low, n_high)
+    print("cpu ceiling", round(ceiling, 3), "bw ceiling", round(bw_ceiling, 3))
     # co-tenant contention on this shared VM is the dominant noise source
     # (r2 measured 0.18–0.52 headline variance across six pairs) — record
     # the 1-min load average entering each run as evidence of window quality
@@ -143,13 +179,21 @@ def main():
         " overhead (scheduler + Arrow round trips ≈ 0.3–1 s) that a real cluster"
         " amortizes over far larger inputs; they are listed for completeness.",
         "",
-        f"**Hardware ceiling on this box: {ceiling:.2f}** — pure-CPU burn at"
-        f" {n_low} vs {n_high} processes (no Spark) measures the all-core-turbo"
-        " frequency drop; even perfectly parallel work cannot exceed this"
-        f" efficiency from {n_low}→{n_high} cores here.  Frequency-normalized"
-        f" headline efficiency: {min(headline_eff / ceiling, 1.0):.2f}"
-        " (a multi-node cluster adds nodes at constant clocks, so the raw"
-        " figure there is the normalized one).",
+        f"**Hardware ceilings on this box** (no Spark, {n_low} vs {n_high}"
+        " processes):",
+        f"- pure-CPU burn: **{ceiling:.2f}** (all-core-turbo frequency drop"
+        " — even perfectly parallel compute cannot exceed it);",
+        f"- memory bandwidth (numpy STREAM triad, 3×64 MB streams):"
+        f" **{bw_ceiling:.2f}** ({bw_lo:.1f} → {bw_hi:.1f} GB/s aggregate —"
+        " one shared memory subsystem saturates; a multi-node cluster adds"
+        " a memory controller per node, so bandwidth-bound work that"
+        " plateaus across cores HERE scales node-for-node THERE).",
+        "",
+        "The engine's kernels (Arrow batches, vectorized numpy, shuffle"
+        " serialization) are bandwidth-heavy, so the relevant ceiling lies"
+        f" between the two.  Frequency-normalized headline:"
+        f" {min(headline_eff / ceiling, 1.0):.2f}; bandwidth-normalized:"
+        f" {min(headline_eff / bw_ceiling, 1.0):.2f}.",
         "",
         "Throughput extras (local[%d]):" % n_high,
         "```json",
@@ -167,6 +211,9 @@ def main():
                 "n_low": n_low,
                 "n_high": n_high,
                 "ceiling": ceiling,
+                "bw_ceiling": bw_ceiling,
+                "bw_gbps_low": bw_lo,
+                "bw_gbps_high": bw_hi,
                 "headline_eff": headline_eff,
                 "overall_eff": overall_eff,
                 "load_before_lo": load_before_lo,
