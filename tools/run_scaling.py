@@ -67,10 +67,13 @@ def measure_cpu_ceiling(n_low: int, n_high: int) -> float:
 
     rates = {}
     for n in (n_low, n_high):
-        with mp.Pool(n) as p:
-            r = p.map(_burn, range(n))
-        rates[n] = sum(r)
-    return (rates[n_high] / rates[n_low]) / (n_high / n_low)
+        best = 0.0
+        for _ in range(3):  # best-of-3: co-tenant interference is one-sided
+            with mp.Pool(n) as p:
+                r = p.map(_burn, range(n))
+            best = max(best, sum(r))
+        rates[n] = best
+    return min(1.0, (rates[n_high] / rates[n_low]) / (n_high / n_low))
 
 
 def _triad(_):
@@ -101,9 +104,12 @@ def measure_bandwidth_ceiling(n_low: int, n_high: int) -> tuple[float, float, fl
 
     rates = {}
     for n in (n_low, n_high):
-        with mp.Pool(n) as p:
-            r = p.map(_triad, range(n))
-        rates[n] = sum(r)
+        best = 0.0
+        for _ in range(3):  # best-of-3: co-tenant interference is one-sided
+            with mp.Pool(n) as p:
+                r = p.map(_triad, range(n))
+            best = max(best, sum(r))
+        rates[n] = best
     eff = (rates[n_high] / rates[n_low]) / (n_high / n_low)
     return eff, rates[n_low] / 1e9, rates[n_high] / 1e9
 
@@ -111,12 +117,12 @@ def measure_bandwidth_ceiling(n_low: int, n_high: int) -> tuple[float, float, fl
 def main():
     n_low = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "8"))
     n_high = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "32"))
-    ceiling = measure_cpu_ceiling(n_low, n_high)
-    bw_ceiling, bw_lo, bw_hi = measure_bandwidth_ceiling(n_low, n_high)
-    print("cpu ceiling", round(ceiling, 3), "bw ceiling", round(bw_ceiling, 3))
     # co-tenant contention on this shared VM is the dominant noise source
     # (r2 measured 0.18–0.52 headline variance across six pairs) — record
-    # the 1-min load average entering each run as evidence of window quality
+    # the 1-min load average entering each run as evidence of window quality.
+    # The ceiling measurements run AFTER both halves: they burn all cores
+    # for several seconds, and measuring them first self-pollutes the
+    # load_before_lo evidence (and the watcher's cleanliness check).
     import time
 
     quiet = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "2.5"))
@@ -132,6 +138,9 @@ def main():
     hi = run_bench(n_high)
     print(json.dumps(hi))
     load_after = os.getloadavg()[0]
+    ceiling = measure_cpu_ceiling(n_low, n_high)
+    bw_ceiling, bw_lo, bw_hi = measure_bandwidth_ceiling(n_low, n_high)
+    print("cpu ceiling", round(ceiling, 3), "bw ceiling", round(bw_ceiling, 3))
 
     rows = []
     effs = []

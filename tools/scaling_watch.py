@@ -97,17 +97,19 @@ def main():
         rank = (clean, s["headline_eff"])
         if best is None or rank > (best["clean"], best["headline_eff"]):
             best = s
+            out = os.environ.get("SPARK_GRAFT_SCALE_OUT", "BASELINE.md")
             shutil.copy(
-                os.path.join(BENCH, "BASELINE.md"), os.path.join(BENCH, "BASELINE.best.md")
+                os.path.join(BENCH, out), os.path.join(BENCH, out + ".best")
             )
             stale = 0
         else:
             stale += 1
         if best["clean"] and (best["headline_eff"] >= TARGET or stale >= 2):
             break
-    if best is not None and os.path.exists(os.path.join(BENCH, "BASELINE.best.md")):
+    out = os.environ.get("SPARK_GRAFT_SCALE_OUT", "BASELINE.md")
+    if best is not None and os.path.exists(os.path.join(BENCH, out + ".best")):
         shutil.move(
-            os.path.join(BENCH, "BASELINE.best.md"), os.path.join(BENCH, "BASELINE.md")
+            os.path.join(BENCH, out + ".best"), os.path.join(BENCH, out)
         )
         print(
             f"kept best pair: headline {best['headline_eff']:.2f}, clean={best['clean']}"
