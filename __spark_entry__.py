@@ -1006,11 +1006,48 @@ def q_stats_store_merge(spark, sf_dir):
     )
 
 
-def q_dedupe_rows(spark, sf_dir):
-    """DedupeFilter analog on a plain table: one row per o_custkey
-    (deterministic min orderkey)."""
-    o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_custkey").agg(F.min("o_orderkey").alias("o_orderkey"))
+def q_spatial_touches_join(spark, sf_dir):
+    """Exact DE-9IM TOUCHES join (r3, geowave_spark.relate via
+    geom_pair_join(predicate="touches") — the SpatialJoinRunner
+    GeomFunction parameter): occupied 15° grid cells as rectangle
+    polygons, self-joined on touching (shared edge OR corner, interiors
+    disjoint).  The DuckDB oracle is pure lattice arithmetic — two
+    same-lattice squares touch iff their Chebyshev cell distance is
+    exactly 1 — so the gate value-checks the topological predicate
+    itself, not a reimplementation."""
+    from geowave_spark.operators.join import geom_pair_join
+
+    pts = _customer_points(spark, sf_dir)
+    cells = (
+        pts.select(
+            F.floor(F.col("lon") / 15.0).cast("long").alias("cx"),
+            F.floor(F.col("lat") / 15.0).cast("long").alias("cy"),
+        )
+        .distinct()
+        .withColumn("cell_id", (F.col("cx") + 1000) * 100000 + (F.col("cy") + 1000))
+        .withColumn("x0", F.col("cx") * 15.0)
+        .withColumn("y0", F.col("cy") * 15.0)
+        .withColumn(
+            "wkt",
+            F.concat(
+                F.lit("POLYGON (("),
+                F.col("x0").cast("string"), F.lit(" "), F.col("y0").cast("string"), F.lit(", "),
+                (F.col("x0") + 15.0).cast("string"), F.lit(" "), F.col("y0").cast("string"), F.lit(", "),
+                (F.col("x0") + 15.0).cast("string"), F.lit(" "), (F.col("y0") + 15.0).cast("string"), F.lit(", "),
+                F.col("x0").cast("string"), F.lit(" "), (F.col("y0") + 15.0).cast("string"), F.lit(", "),
+                F.col("x0").cast("string"), F.lit(" "), F.col("y0").cast("string"),
+                F.lit("))"),
+            ),
+        )
+        .select("cell_id", "wkt")
+    )
+    left = cells.select(F.col("cell_id").alias("a_id"), "wkt")
+    right = cells.select(F.col("cell_id").alias("b_id"), "wkt")
+    return (
+        geom_pair_join(left, right, "a_id", "b_id", predicate="touches")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(F.col("a_id").alias("a_cell"), F.col("b_id").alias("b_cell"))
+    )
 
 
 # ---- training-data operators
@@ -1234,7 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gwql_select": q_gwql_select,
         "gwql_agg": q_gwql_agg,
         "gwql_delete": q_gwql_delete,
-        "dedupe_rows": q_dedupe_rows,
+        "spatial_touches_join": q_spatial_touches_join,
         "cql_select": q_cql_select,
         "sql_injected_join": q_sql_injected_join,
         "stats_store_merge": q_stats_store_merge,
@@ -1454,8 +1491,18 @@ SELECT count(l_quantity) AS cnt,
        round(avg(l_quantity), 6) AS avg_q
 FROM lineitem
 """,
-        "dedupe_rows": """
-SELECT o_custkey, min(o_orderkey) AS o_orderkey FROM orders GROUP BY o_custkey
+        "spatial_touches_join": f"""
+WITH c AS ({cust_pts}),
+cells AS (
+  SELECT DISTINCT CAST(floor(lon / 15.0) AS BIGINT) AS cx,
+                  CAST(floor(lat / 15.0) AS BIGINT) AS cy
+  FROM c
+),
+ids AS (SELECT cx, cy, (cx + 1000) * 100000 + (cy + 1000) AS cell_id FROM cells)
+SELECT a.cell_id AS a_cell, b.cell_id AS b_cell
+FROM ids a JOIN ids b
+  ON greatest(abs(a.cx - b.cx), abs(a.cy - b.cy)) = 1
+WHERE a.cell_id < b.cell_id
 """,
         "cql_select": f"""
 WITH c AS ({cust_pts})
