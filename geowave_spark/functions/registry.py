@@ -109,6 +109,52 @@ def _pairwise_dist2(a: pd.Series, b: pd.Series) -> np.ndarray:
     return out
 
 
+import re as _re
+
+_POINT_RE = _re.compile(r"^\s*POINT\s*\(\s*([-+0-9.eE]+)\s+([-+0-9.eE]+)\s*\)\s*$")
+
+
+def _point_coords(col: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(is_point mask, x, y) for a WKT column — one vectorized regex pass."""
+    ext = col.str.extract(_POINT_RE, expand=True)
+    ok = ext[0].notna().to_numpy()
+    x = pd.to_numeric(ext[0], errors="coerce").to_numpy(np.float64)
+    y = pd.to_numeric(ext[1], errors="coerce").to_numpy(np.float64)
+    return ok, x, y
+
+
+def _locate_vs(geoms: pd.Series, px: np.ndarray, py: np.ndarray, rows: np.ndarray) -> np.ndarray:
+    """locate() the given points against their row's geometry, batched per
+    DISTINCT geometry (the dominant SQL shape is one constant region vs a
+    point column, where this is a single vectorized call)."""
+    out = np.full(len(rows), 2, dtype=np.int8)
+    codes, uniq = pd.factorize(geoms.iloc[rows] if hasattr(geoms, "iloc") else pd.Series(geoms).iloc[rows])
+    for k, w in enumerate(uniq):
+        m = codes == k
+        out[m] = _prepared(w).locate(px[rows[m]], py[rows[m]])
+    return out
+
+
+def _relate_point_fast(a: pd.Series, b: pd.Series, point_side: str, want) -> pd.Series:
+    """Shared body for the point-side predicates: rows whose ``point_side``
+    column is a POINT evaluate via one vectorized ``locate`` batch per
+    distinct other-side geometry (loc ∈ {0 interior, 1 boundary, 2
+    exterior} decides contains/covers/touches exactly — see relate.py);
+    remaining rows take the full per-pair DE-9IM path."""
+    from ..relate import prepare  # noqa: F401  (slow path uses _prepared)
+
+    n = len(a)
+    pts, other = (b, a) if point_side == "b" else (a, b)
+    ok, px, py = _point_coords(pts)
+    out = np.zeros(n, dtype=bool)
+    rows = np.nonzero(ok)[0]
+    if len(rows):
+        loc = _locate_vs(other, px, py, rows)
+        out[rows] = want(loc)
+    slow = np.nonzero(~ok)[0]
+    return out, slow
+
+
 def _intersects_pair(a, b) -> bool:
     """Kind-aware INTERSECTS on parsed-multi geometries."""
     (ka, pa), (kb, pb) = a, b
@@ -151,38 +197,45 @@ def register_all(spark: SparkSession) -> None:
     def st_contains(a: pd.Series, b: pd.Series) -> pd.Series:
         """a CONTAINS b — exact JTS semantics (DE-9IM [T*****FF*]) for any
         kind pair via :mod:`geowave_spark.relate` (r3: replaces the
-        vertex-sample approximation)."""
+        vertex-sample approximation).  POINT rows on the contained side
+        take the vectorized locate() batch (contains(a, p) ⇔ p strictly
+        in a's interior — for every kind of a)."""
         from ..relate import relate_contains
 
-        return pd.Series(
-            [relate_contains(_prepared(x), _prepared(y)) for x, y in zip(a, b)]
-        )
+        out, slow = _relate_point_fast(a, b, "b", lambda loc: loc == 0)
+        for i in slow:
+            out[i] = relate_contains(_prepared(a.iloc[i]), _prepared(b.iloc[i]))
+        return pd.Series(out)
 
     @F.pandas_udf(BooleanType())
     def st_within(a: pd.Series, b: pd.Series) -> pd.Series:
         """a WITHIN b — mirror of contains."""
         from ..relate import relate_contains
 
-        return pd.Series(
-            [relate_contains(_prepared(y), _prepared(x)) for x, y in zip(a, b)]
-        )
+        out, slow = _relate_point_fast(a, b, "a", lambda loc: loc == 0)
+        for i in slow:
+            out[i] = relate_contains(_prepared(b.iloc[i]), _prepared(a.iloc[i]))
+        return pd.Series(out)
 
     @F.pandas_udf(BooleanType())
     def st_covers(a: pd.Series, b: pd.Series) -> pd.Series:
-        """a COVERS b: no point of b in a's exterior (GeomCovers parity)."""
+        """a COVERS b: no point of b in a's exterior (GeomCovers parity);
+        covers(a, p) ⇔ p not in a's exterior."""
         from ..relate import relate_covers
 
-        return pd.Series(
-            [relate_covers(_prepared(x), _prepared(y)) for x, y in zip(a, b)]
-        )
+        out, slow = _relate_point_fast(a, b, "b", lambda loc: loc != 2)
+        for i in slow:
+            out[i] = relate_covers(_prepared(a.iloc[i]), _prepared(b.iloc[i]))
+        return pd.Series(out)
 
     @F.pandas_udf(BooleanType())
     def st_covered_by(a: pd.Series, b: pd.Series) -> pd.Series:
         from ..relate import relate_covers
 
-        return pd.Series(
-            [relate_covers(_prepared(y), _prepared(x)) for x, y in zip(a, b)]
-        )
+        out, slow = _relate_point_fast(a, b, "a", lambda loc: loc != 2)
+        for i in slow:
+            out[i] = relate_covers(_prepared(b.iloc[i]), _prepared(a.iloc[i]))
+        return pd.Series(out)
 
     @F.pandas_udf(BooleanType())
     def st_equals(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -300,12 +353,16 @@ def register_all(spark: SparkSession) -> None:
     @F.pandas_udf(BooleanType())
     def st_touches(a: pd.Series, b: pd.Series) -> pd.Series:
         """JTS TOUCHES, exact for every kind pair (r3): the geometries
-        intersect but their interiors do not."""
+        intersect but their interiors do not.  A single-POINT side takes
+        the vectorized locate() batch (touches(p, g) ⇔ p on g's
+        boundary)."""
         from ..relate import relate_touches
 
-        return pd.Series(
-            [relate_touches(_prepared(x), _prepared(y)) for x, y in zip(a, b)]
-        )
+        out, slow = _relate_point_fast(a, b, "b", lambda loc: loc == 1)
+        for i in slow:
+            # the a side may be the point instead (touches is symmetric)
+            out[i] = relate_touches(_prepared(a.iloc[i]), _prepared(b.iloc[i]))
+        return pd.Series(out)
 
     @F.pandas_udf(BooleanType())
     def st_crosses(a: pd.Series, b: pd.Series) -> pd.Series:

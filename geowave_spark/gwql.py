@@ -67,6 +67,9 @@ _FN = {
     "contains": "st_contains",
     "touches": "st_touches",
     "within": "st_within",
+    "covers": "st_covers",
+    "coveredby": "st_covered_by",
+    "equals": "st_equals",
     "strstartswith": "startswith",
     "strendswith": "endswith",
     "strcontains": "contains",

@@ -183,3 +183,49 @@ def test_registry_exact_predicates_sql(spark):
         (True, False, False),   # edge-sharing squares
     ]
     assert all(r.e and r.cv for r in rows)
+
+
+def test_point_fast_path_matches_relate(spark):
+    """The vectorized point-side locate() fast path in the registry must
+    agree with the full per-pair DE-9IM evaluation for every predicate,
+    on a mix of interior/boundary/exterior points AND non-point rows
+    (which exercise the slow-path fallback in the same batch)."""
+    from geowave_spark.functions.registry import register_all
+
+    register_all(spark)
+    region = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))"
+    line = "LINESTRING (0 0, 4 4)"
+    bs = [
+        "POINT (0.5 0.5)",   # in the band
+        "POINT (2 2)",       # in the hole
+        "POINT (1 2)",       # on the hole boundary
+        "POINT (0 0)",       # on the exterior corner
+        "POINT (9 9)",       # outside
+        "POINT (2 2)",
+        line,                 # non-point row → slow path in the same batch
+        "POLYGON ((1.5 1.5, 2.5 1.5, 2.5 2.5, 1.5 2.5, 1.5 1.5))",
+    ]
+    df = spark.createDataFrame([(region, b) for b in bs], "a string, b string")
+    df.createOrReplaceTempView("fastslow")
+    rows = spark.sql(
+        """SELECT st_contains(a, b) c, st_within(b, a) w, st_covers(a, b) cv,
+                  st_covered_by(b, a) cb, st_touches(a, b) t, st_touches(b, a) t2
+           FROM fastslow"""
+    ).collect()
+    from geowave_spark.geom import parse_wkt_multi
+    from geowave_spark.relate import (
+        prepare,
+        relate_contains,
+        relate_covers,
+        relate_touches,
+    )
+
+    ga = prepare(parse_wkt_multi(region))
+    for r, b in zip(rows, bs):
+        gb = prepare(parse_wkt_multi(b))
+        assert r.c == relate_contains(ga, gb), b
+        assert r.w == relate_contains(ga, gb), b
+        assert r.cv == relate_covers(ga, gb), b
+        assert r.cb == relate_covers(ga, gb), b
+        assert r.t == relate_touches(ga, gb), b
+        assert r.t2 == relate_touches(gb, ga), b
