@@ -229,3 +229,32 @@ def test_point_fast_path_matches_relate(spark):
         assert r.cb == relate_covers(ga, gb), b
         assert r.t == relate_touches(ga, gb), b
         assert r.t2 == relate_touches(gb, ga), b
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_relate_rect_closed_form_property(seed):
+    """500 random lattice-rectangle pairs per seed against the closed-form
+    DE-9IM truth for axis-aligned rectangles (interval arithmetic, fully
+    independent of the relate machinery)."""
+    rng = np.random.default_rng(100 + seed)
+    for _ in range(500):
+        ax0, ay0 = rng.integers(0, 8, size=2)
+        aw, ah = rng.integers(1, 4, size=2)
+        bx0, by0 = rng.integers(0, 8, size=2)
+        bw, bh = rng.integers(1, 4, size=2)
+        ax1, ay1 = ax0 + aw, ay0 + ah
+        bx1, by1 = bx0 + bw, by0 + bh
+        a = g(f"POLYGON (({ax0} {ay0}, {ax1} {ay0}, {ax1} {ay1}, {ax0} {ay1}, {ax0} {ay0}))")
+        b = g(f"POLYGON (({bx0} {by0}, {bx1} {by0}, {bx1} {by1}, {bx0} {by1}, {bx0} {by0}))")
+        closures = ax0 <= bx1 and bx0 <= ax1 and ay0 <= by1 and by0 <= ay1
+        interiors = min(ax1, bx1) > max(ax0, bx0) and min(ay1, by1) > max(ay0, by0)
+        a_cov_b = ax0 <= bx0 and ax1 >= bx1 and ay0 <= by0 and ay1 >= by1
+        b_cov_a = bx0 <= ax0 and bx1 >= ax1 and by0 <= ay0 and by1 >= ay1
+        key = (ax0, ay0, ax1, ay1, bx0, by0, bx1, by1)
+        assert relate_intersects(a, b) == closures, key
+        assert relate_touches(a, b) == (closures and not interiors), key
+        assert relate_overlaps(a, b) == (interiors and not a_cov_b and not b_cov_a), key
+        assert relate_contains(a, b) == a_cov_b, key
+        assert relate_covers(a, b) == a_cov_b, key
+        assert relate_equals(a, b) == (a_cov_b and b_cov_a), key
+        assert relate_crosses(a, b) is False, key
