@@ -64,10 +64,24 @@ _SPATIAL_FNS = {
 
 
 def _geom_kind(df: DataFrame, col: str) -> str:
-    row = df.select(col).where(F.col(col).isNotNull()).first()
-    if row is None:
-        return "POINT"
-    return str(row[0]).strip().split("(", 1)[0].strip().upper()
+    """Geometry kind of a WKT column, verified HOMOGENEOUS (r4 ADVICE:
+    sampling one row let a mixed POINT/POLYGON column take the point fast
+    path, whose regex yields null for the non-POINT rows — silently
+    dropping them from the prune pairs).  One distinct-prefix scan of the
+    single column per injected query; the injection itself scans far
+    more, and "MIXED" makes the caller fall back to plain spark.sql."""
+    kinds = (
+        df.where(F.col(col).isNotNull())
+        .select(F.upper(F.trim(F.substring_index(F.col(col), "(", 1))).alias("k"))
+        .distinct()
+        .limit(3)
+        .collect()
+    )
+    if not kinds:
+        return "POINT"  # all-null column: any plan produces zero pairs
+    if len(kinds) != 1:
+        return "MIXED"
+    return str(kinds[0][0])
 
 
 def _with_rowid(df: DataFrame, name: str = "_gwid") -> DataFrame:
@@ -254,6 +268,24 @@ def _analyze(spark: SparkSession, sql: str) -> _PredInfo | None:
     two relations."""
     plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
 
+    # r4 (ADVICE high): CTE definitions live in UnresolvedWith
+    # innerChildren, invisible to the children() walk below — a CTE alias
+    # would be counted as a plain relation, crashing at spark.table() or,
+    # if a temp view shares the CTE name, pruning the WRONG relation
+    # (silently wrong rows).  Subquery expressions (scalar/EXISTS/IN)
+    # likewise hold plans inside EXPRESSIONS, not plan children, so a
+    # third relation reference hiding in one is invisible too — and if it
+    # names a swapped table, the re-run reads the pruned view.  Bail on
+    # either shape: Spark's own subqueriesAll() surfaces every plan
+    # nested in expressions, and any CTE-ish node class anywhere in the
+    # walk (UnresolvedWith at root, or nested in a FROM-clause subquery).
+    if plan.subqueriesAll().size() != 0:
+        return None
+    for node in _walk(plan):
+        c = _cls(node)
+        if c == "UnresolvedWith" or "CTE" in c:
+            return None
+
     rels: list[tuple[str, str]] = []  # (table, alias)
     conds = []
 
@@ -320,13 +352,19 @@ def run_spatial_sql(spark: SparkSession, sql: str) -> DataFrame:
 
     register_all(spark)
     try:
+        # r4: table resolution and join construction are inside the same
+        # guard as the plan walk — any resolution surprise (a name the
+        # walker mistook for a real relation, a column-type mismatch)
+        # degrades to plain spark.sql instead of crashing (ADVICE high).
         info = _analyze(spark, sql)
+        if info is None:
+            return spark.sql(sql)
+        ta, tb = spark.table(info.a_table), spark.table(info.b_table)
+        pairs = _indexed_pairs(
+            spark, ta, info.a_col, tb, info.b_col, info.fn, info.radius
+        )
     except Exception:
-        info = None  # any JVM-walk surprise: execute the SQL untouched
-    if info is None:
-        return spark.sql(sql)
-    ta, tb = spark.table(info.a_table), spark.table(info.b_table)
-    pairs = _indexed_pairs(spark, ta, info.a_col, tb, info.b_col, info.fn, info.radius)
+        pairs = None  # any JVM-walk surprise: execute the SQL untouched
     if pairs is None:
         return spark.sql(sql)
     pairs = pairs.persist()

@@ -208,6 +208,73 @@ class TestPlanLevelDetection:
         n = spark.table("sj_points").count()
         assert all(t == n for _, _, t in got)
 
+    def test_cte_falls_back(self, spark, views):
+        # r4 (ADVICE high): CTE definitions live in UnresolvedWith
+        # innerChildren — invisible to a children()-only walk; the CTE
+        # alias must NOT be treated as a relation (it crashed at
+        # spark.table before the fix)
+        sql = """
+        WITH c AS (SELECT * FROM sj_points WHERE pid < 100)
+        SELECT a.pid, b.oid FROM c a, sj_other b
+        WHERE st_within_distance(a.geom, b.geom, 0.8)
+        """
+        got = {tuple(r) for r in run_spatial_sql(spark, sql).collect()}
+        want = {tuple(r) for r in spark.sql(sql).collect()}
+        assert got == want and len(want) > 0
+
+    def test_cte_shadowing_temp_view_not_misprimed(self, spark, views):
+        # worse than the crash: if a temp view shares the CTE's name, the
+        # pre-fix walker injected against the WRONG relation and returned
+        # silently wrong rows
+        spark.table("sj_points").limit(3).createOrReplaceTempView("c")
+        try:
+            sql = """
+            WITH c AS (SELECT * FROM sj_points WHERE pid < 100)
+            SELECT a.pid, b.oid FROM c a, sj_other b
+            WHERE st_within_distance(a.geom, b.geom, 0.8)
+            """
+            got = {tuple(r) for r in run_spatial_sql(spark, sql).collect()}
+            want = {tuple(r) for r in spark.sql(sql).collect()}
+            assert got == want and len(want) > 0
+        finally:
+            spark.catalog.dropTempView("c")
+
+    def test_subquery_referencing_swapped_table_falls_back(self, spark, views):
+        # a scalar subquery over one of the two FROM relations: swapping
+        # in the pruned view would corrupt the subquery's result — the
+        # subqueriesAll() bail must refuse injection
+        sql = """
+        SELECT a.pid, b.oid,
+               (SELECT max(pid) FROM sj_points) AS mx
+        FROM sj_points a, sj_other b
+        WHERE st_within_distance(a.geom, b.geom, 0.5)
+        """
+        got = {tuple(r) for r in run_spatial_sql(spark, sql).collect()}
+        want = {tuple(r) for r in spark.sql(sql).collect()}
+        assert got == want
+        mx = spark.table("sj_points").agg(F.max("pid")).first()[0]
+        assert all(m == mx for _, _, m in got)
+
+    def test_mixed_kind_column_falls_back_correctly(self, spark, views):
+        # r4 (ADVICE medium): a column whose first row is POINT but later
+        # rows are POLYGON must not take the point fast path (its regex
+        # nulls the polygons out of the prune pairs — lost rows)
+        pts = spark.table("sj_points").selectExpr("pid AS mid", "geom")
+        polys = spark.table("sj_regions").selectExpr("rid + 100000 AS mid", "geom")
+        pts.union(polys).createOrReplaceTempView("sj_mixed")
+        try:
+            sql = """
+            SELECT m.mid, r.rid FROM sj_mixed m JOIN sj_regions r
+            ON st_intersects(r.geom, m.geom)
+            """
+            got = {tuple(x) for x in run_spatial_sql(spark, sql).collect()}
+            want = {tuple(x) for x in spark.sql(sql).collect()}
+            assert got == want
+            # the mixed relation's polygon rows must appear in the result
+            assert any(mid >= 100000 for mid, _ in got)
+        finally:
+            spark.catalog.dropTempView("sj_mixed")
+
     def test_qualified_table_name_falls_back(self, spark, views):
         # db-qualified names are out of swap scope; must still run fine
         sql = """
