@@ -44,14 +44,23 @@ RADIUS = float(
 PARTS = int(os.environ.get("SPARK_GRAFT_BENCH_PARTS", "128"))
 
 
+# fixture layout is part of the job definition and must be IDENTICAL at
+# every parallelism level: r3's cache keyed only on n, so a low-CPUS
+# scaling run regenerated images_40000.parquet with max(CPUS*2,16)=16
+# single-row-group files — at local[32] half the 32m-budget splits were
+# row-group-empty and 16 cores sat idle (the "tile_assignment warm 3.8 →
+# 8.9 s regression" of VERDICT r3 Next #1).  128 files, one per split.
+FIXTURE_PARTS = 128
+
+
 def materialize_images(spark, n: int) -> str:
     """One-time deterministic images parquet (reused across runs/cpu counts)."""
     from geowave_spark.sources.images import images_table, with_geometry
 
-    path = f"{CACHE_DIR}/images_{n}.parquet"
+    path = f"{CACHE_DIR}/images_{n}_p{FIXTURE_PARTS}.parquet"
     marker = f"{path}/_SUCCESS"
     if not os.path.exists(marker):
-        with_geometry(images_table(spark, n, partitions=max(CPUS * 2, 16))).write.mode(
+        with_geometry(images_table(spark, n, partitions=FIXTURE_PARTS)).write.mode(
             "overwrite"
         ).parquet(path)
     return path
@@ -64,7 +73,7 @@ def materialize_points(spark, n: int) -> str:
 
     from geowave_spark.sources.images import lonlat_for
 
-    path = f"{CACHE_DIR}/points_{n}.parquet"
+    path = f"{CACHE_DIR}/points_{n}_p{FIXTURE_PARTS}.parquet"
     marker = f"{path}/_SUCCESS"
     if not os.path.exists(marker):
         def _gen(batches):
@@ -79,7 +88,7 @@ def materialize_points(spark, n: int) -> str:
                     }
                 )
 
-        spark.range(0, n, 1, max(CPUS * 2, 16)).mapInPandas(
+        spark.range(0, n, 1, FIXTURE_PARTS).mapInPandas(
             _gen, "image_id string, lon double, lat double"
         ).write.mode("overwrite").parquet(path)
     return path
@@ -209,6 +218,12 @@ def main():
     # still routes the percentile through the bucketed two-pass rank
     run("kde_images", lambda: kde(pts, 11).count(), rows_in=IMAGES_N)
 
+    # one scan split per fixture file (~4.7 MB + 1 MB open cost < 8 MB,
+    # two files don't fit) ⇒ exactly FIXTURE_PARTS even tasks at every
+    # parallelism level — the decode kernel is python-bound, so split
+    # evenness IS the scaling result; 32m budgets would pack ~5 files per
+    # split and leave cores idle at local[32]
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
     tile_imgs = spark.read.parquet(tile_path)
     n_tiles = run(
         "tile_assignment",

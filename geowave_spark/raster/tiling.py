@@ -165,13 +165,18 @@ def tile_images(
             sub = px[np.clip(sy, 0, h - 1)[:, None], np.clip(sx, 0, w - 1)[None, :]]
             mask = oky[:, None] & okx[None, :]
             lattice[mask] = sub[mask]
-        # (ncy*ts, ncx*ts, 3) -> per-cell tiles [iy, ix, ts, ts, 3]
-        tiles = lattice.reshape(ncy, ts, ncx, ts, 3).transpose(0, 2, 1, 3, 4)
+        # (ncy*ts, ncx*ts, 3) -> per-cell tiles [iy, ix, ts, ts, 3]; ONE
+        # contiguous copy for the whole lattice (r4 — the per-tile
+        # ascontiguousarray loop dominated the python time), then each
+        # tile's bytes are a zero-copy row slice
+        tiles = np.ascontiguousarray(
+            lattice.reshape(ncy, ts, ncx, ts, 3).transpose(0, 2, 1, 3, 4)
+        ).reshape(ncy * ncx, ts * ts * 3)
         # map each emitted (gx, gy) to its lattice slot; cells may be a
         # clipped subset when the fan-out cap kicked in
         out = []
         for ix, iy, c in zip(gx.tolist(), gy.tolist(), cells.tolist()):
-            out.append((t, int(c), np.ascontiguousarray(tiles[iy - ay, ix - ax]).tobytes()))
+            out.append((t, int(c), tiles[(iy - ay) * ncx + (ix - ax)].tobytes()))
         return out
 
     def _tile(batches):
