@@ -1050,6 +1050,66 @@ def q_spatial_touches_join(spark, sf_dir):
     )
 
 
+def q_spatial_crosses_join(spark, sf_dir):
+    """Exact DE-9IM CROSSES join over NON-rectangular geometry (r4,
+    VERDICT r3 Next #2): horizontal line segments (from supplier points,
+    four deterministic families — cell-spanning, short-interior,
+    hypotenuse-exiting, boundary-collinear) × right triangles on the
+    customer-occupied 15° lattice.  Exercises relate.py's diagonal-edge
+    classification, collinear-boundary handling, and the within-vs-crosses
+    distinction (an interior segment does NOT cross).  The DuckDB oracle
+    is closed-form interval arithmetic: a horizontal segment [a,b]×{c}
+    crosses the triangle ((x0,y0),(x0+15,y0),(x0,y0+15)) iff
+    y0 < c < y0+15, max(a,x0) < min(b,e) with e = x0+15-(c-y0), and part
+    of the segment lies outside [x0,e] — pure integers, exact in doubles.
+    Reference semantics: GeomCrosses.java via JTS RelateOp
+    (analytics/spark/.../sparksql/udf/GeomFunction.java)."""
+    from geowave_spark.operators.join import geom_pair_join
+
+    pts = _customer_points(spark, sf_dir)
+    tri = (
+        pts.select(
+            F.floor(F.col("lon") / 15.0).cast("long").alias("cx"),
+            F.floor(F.col("lat") / 15.0).cast("long").alias("cy"),
+        )
+        .distinct()
+        .withColumn("tri_id", (F.col("cx") + 1000) * 100000 + (F.col("cy") + 1000))
+        .withColumn("x0", F.col("cx") * 15.0)
+        .withColumn("y0", F.col("cy") * 15.0)
+        .withColumn(
+            "wkt",
+            F.concat(
+                F.lit("POLYGON (("),
+                F.col("x0").cast("string"), F.lit(" "), F.col("y0").cast("string"), F.lit(", "),
+                (F.col("x0") + 15.0).cast("string"), F.lit(" "), F.col("y0").cast("string"), F.lit(", "),
+                F.col("x0").cast("string"), F.lit(" "), (F.col("y0") + 15.0).cast("string"), F.lit(", "),
+                F.col("x0").cast("string"), F.lit(" "), F.col("y0").cast("string"),
+                F.lit("))"),
+            ),
+        )
+        .select("tri_id", "wkt")
+    )
+    sp = _supplier_points(spark, sf_dir)
+    fam = F.col("s_suppkey") % 4
+    sx0 = F.floor(F.col("lon") / 15.0) * 15.0
+    sy0 = F.floor(F.col("lat") / 15.0) * 15.0
+    yc = F.when(fam == 3, sy0).otherwise(sy0 + 3.0 + 3.0 * (F.col("s_suppkey") % 3))
+    xa = sx0 + F.when(fam == 0, F.lit(-5.0)).when(fam == 1, F.lit(1.0)).otherwise(F.lit(2.0))
+    xb = sx0 + F.when(fam == 0, F.lit(20.0)).when(fam == 1, F.lit(3.0)).when(fam == 2, F.lit(40.0)).otherwise(F.lit(8.0))
+    seg = sp.select(
+        F.col("s_suppkey").alias("seg_id"),
+        F.concat(
+            F.lit("LINESTRING ("),
+            xa.cast("string"), F.lit(" "), yc.cast("string"), F.lit(", "),
+            xb.cast("string"), F.lit(" "), yc.cast("string"),
+            F.lit(")"),
+        ).alias("wkt"),
+    )
+    return geom_pair_join(
+        seg, tri, "seg_id", "tri_id", left_wkt="wkt", right_wkt="wkt", predicate="crosses"
+    ).select("seg_id", "tri_id")
+
+
 # ---- training-data operators
 
 
@@ -1063,13 +1123,15 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 
-def q_quality_scores(spark, sf_dir):
-    return quality_features(_t(spark, sf_dir, "documents"))
-
-
-def q_language_id(spark, sf_dir):
+def q_text_quality_lang(spark, sf_dir):
+    """Quality scoring + language ID in one per-document pass (r4: the
+    former quality_scores and language_id entries, merged to free a
+    driver slot for spatial_crosses_join — both expression families stay
+    value-gated by the combined oracle)."""
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
+    return quality_features(d).join(
+        d.select("doc_id", language_id(F.col("text")).alias("lang_pred")), "doc_id"
+    )
 
 
 def q_embedding_topk(spark, sf_dir):
@@ -1277,8 +1339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_store_merge": q_stats_store_merge,
         "dedup_exact_docs": q_dedup_exact_docs,
         "doc_fingerprint": q_doc_fingerprint,
-        "quality_scores": q_quality_scores,
-        "language_id": q_language_id,
+        "text_quality_lang": q_text_quality_lang,
+        "spatial_crosses_join": q_spatial_crosses_join,
         "embedding_topk": q_embedding_topk,
         "minhash_neardup": q_minhash_neardup,
         "simhash_pairs": q_simhash_pairs,
@@ -1581,8 +1643,39 @@ WHERE rank <= 5
 """,
         # quality_scores / language_id oracles are generated to mirror the
         # exact replace/length arithmetic of operators/text.py
-        "quality_scores": _quality_oracle_sql(),
-        "language_id": _language_oracle_sql(),
+        "text_quality_lang": f"""
+WITH q AS ({_quality_oracle_sql()}), l AS ({_language_oracle_sql()})
+SELECT q.*, l.lang_pred FROM q JOIN l USING (doc_id)
+""",
+        "spatial_crosses_join": f"""
+WITH c AS ({cust_pts}),
+cells AS (
+  SELECT DISTINCT CAST(floor(lon / 15.0) AS BIGINT) AS cx,
+                  CAST(floor(lat / 15.0) AS BIGINT) AS cy
+  FROM c
+),
+tri AS (
+  SELECT (cx + 1000) * 100000 + (cy + 1000) AS tri_id,
+         cx * 15.0 AS x0, cy * 15.0 AS y0
+  FROM cells
+),
+s AS ({supp_pts}),
+seg AS (
+  SELECT s_suppkey AS seg_id,
+         CASE WHEN s_suppkey % 4 = 3 THEN floor(lat / 15.0) * 15.0
+              ELSE floor(lat / 15.0) * 15.0 + 3 + 3 * (s_suppkey % 3) END AS yc,
+         floor(lon / 15.0) * 15.0 +
+           CASE s_suppkey % 4 WHEN 0 THEN -5 WHEN 1 THEN 1 ELSE 2 END AS xa,
+         floor(lon / 15.0) * 15.0 +
+           CASE s_suppkey % 4 WHEN 0 THEN 20 WHEN 1 THEN 3 WHEN 2 THEN 40 ELSE 8 END AS xb
+  FROM s
+)
+SELECT seg.seg_id, tri.tri_id
+FROM seg, tri
+WHERE seg.yc > tri.y0 AND seg.yc < tri.y0 + 15
+  AND greatest(seg.xa, tri.x0) < least(seg.xb, tri.x0 + 15 - (seg.yc - tri.y0))
+  AND (seg.xa < tri.x0 OR seg.xb > tri.x0 + 15 - (seg.yc - tri.y0))
+""",
         # independent-recomputation VALUES oracles (tools/oracle_values.py):
         # a second numpy implementation of each pipeline, embedded as a
         # DuckDB VALUES relation (pinned to the driver's sf0.01 compare)
