@@ -9,14 +9,24 @@ an icosahedron with a gnomonic projection, overlay a hexagonal grid whose
 resolution steps scale by 1/√7 and rotate by atan(√3/5) ≈ 19.1066°
 (aperture 7), and round to the containing hexagon with cube rounding.
 
-**Id interop caveat (deliberate):** the emitted 64-bit ids pack
-(resolution, face, i, j) of this implementation's grid; they are NOT
-official H3 ids (that would require H3's exact Dymaxion orientation and
-122-entry base-cell tables, which cannot be verified bit-for-bit in this
-environment — no h3 library available).  All *binning semantics* match:
-one deterministic hexagonal cell per point, ~7× more cells per
-resolution step, hexagonal neighborhoods.  Joining against ids produced
-by the official library is out of scope and documented as such.
+**Id interop caveat (deliberate) + hard misuse guard (r4):** the emitted
+64-bit ids pack (resolution, face, i, j) of this implementation's grid;
+they are NOT official H3 ids (that would require H3's exact Dymaxion
+orientation and 122-entry base-cell tables, which cannot be verified
+bit-for-bit in this environment — no h3 library available, and an
+unverifiable transcription claim would be worse than an honest caveat).
+All *binning semantics* match: one deterministic hexagonal cell per
+point, ~7× more cells per resolution step, hexagonal neighborhoods.
+
+To make the non-interop impossible to hit SILENTLY, every emitted id
+carries the bit-63 scheme tag (``SCHEME_TAG``) — engine hex ids are
+always negative int64s, while official H3 cell indexes always have the
+reserved high bit 0 and mode 1 (h3geo.org bit-layout documentation:
+1 reserved bit, 4 mode bits = 0001, …) and are therefore always
+positive.  The two id spaces are disjoint by construction, a join across
+them matches nothing instead of mismatching silently, and
+:func:`hex_cell_unpack` / :func:`assert_engine_hex_ids` raise loudly
+when handed untagged (possibly official-h3lib) ids.
 """
 
 from __future__ import annotations
@@ -130,19 +140,40 @@ def _cube_round(q: np.ndarray, r: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 _OFF = np.int64(1 << 26)
 
+# bit-63 namespace marker: engine hex ids are negative, official H3 cell
+# indexes (reserved bit 0, mode 0001) are always positive — disjoint spaces
+SCHEME_TAG = np.int64(-(2**63))
+
 
 def _pack(face: np.ndarray, res: int, qi: np.ndarray, ri: np.ndarray) -> np.ndarray:
-    """(res 4b | face 5b | q+2^26 27b | r+2^26 27b) → int64."""
+    """(tag 1b | res 4b | face 5b | q+2^26 27b | r+2^26 27b) → int64."""
     return (
-        (np.int64(res) << np.int64(59))
+        SCHEME_TAG
+        | (np.int64(res) << np.int64(59))
         | (face << np.int64(54))
         | ((qi + _OFF) << np.int64(27))
         | (ri + _OFF)
     )
 
 
-def hex_cell_unpack(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+def assert_engine_hex_ids(cell: np.ndarray) -> np.ndarray:
+    """Validate the bit-63 scheme tag; raise on untagged ids so a join or
+    unpack against official-h3lib ids (a different, non-interoperable id
+    space — module docstring) fails loudly instead of silently matching
+    nothing."""
     cell = np.asarray(cell, dtype=np.int64)
+    if cell.size and (cell >= 0).any():
+        raise ValueError(
+            "untagged hex id(s): engine hex ids carry the bit-63 scheme tag "
+            "(negative int64).  Non-negative values are a different id space "
+            "— likely official h3lib indexes, which this engine's aperture-7 "
+            "scheme deliberately does NOT interoperate with (sfc/h3hex.py)."
+        )
+    return cell
+
+
+def hex_cell_unpack(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    cell = assert_engine_hex_ids(cell) & ~SCHEME_TAG
     res = (cell >> np.int64(59)) & np.int64(0xF)
     face = (cell >> np.int64(54)) & np.int64(0x1F)
     qi = ((cell >> np.int64(27)) & np.int64((1 << 27) - 1)) - _OFF

@@ -516,6 +516,33 @@ class TestHexBinning:
         n = len(np.unique(hex_cell_id(lon, lat, 2)))
         assert 200 < n < 5000, n
 
+    def test_scheme_tag_namespace_guard(self):
+        """r4 misuse guard: every engine hex id carries the bit-63 tag
+        (negative int64) — disjoint from official h3lib cell indexes
+        (reserved bit 0, mode 0001 ⇒ always positive) — and unpack
+        raises loudly on untagged ids instead of silently decoding a
+        foreign id space."""
+        import pytest
+
+        from geowave_spark.sfc import hex_cell_id
+        from geowave_spark.sfc.h3hex import assert_engine_hex_ids, hex_cell_unpack
+
+        r = np.random.default_rng(31)
+        lon = r.uniform(-180, 180, 5000)
+        lat = r.uniform(-90, 90, 5000)
+        for res in (0, 2, 7, 15):
+            ids = hex_cell_id(lon, lat, res)
+            assert (ids < 0).all()  # tagged ⇒ negative
+            assert_engine_hex_ids(ids)  # no raise
+            got_res, face, _, _ = hex_cell_unpack(ids)
+            assert (got_res == res).all() and (face < 20).all()
+        # an official-shaped id (positive, mode-1 bits) must be rejected
+        official_like = np.array([0x8928308280FFFFF], dtype=np.int64)
+        with pytest.raises(ValueError, match="scheme tag"):
+            hex_cell_unpack(official_like)
+        with pytest.raises(ValueError, match="scheme tag"):
+            assert_engine_hex_ids(np.array([0], dtype=np.int64))
+
 
 class TestXZHierarchical:
     """Composite point+extent strategy (XZHierarchicalIndexStrategy analog,

@@ -415,8 +415,11 @@ def h3_rows(sf_dir: str, clon: str, clat: str, res: int = 2) -> list[tuple[int, 
     qi = np.where(fix_q, -ri - si, qi).astype(np.int64)
     ri = np.where(fix_r, -qi - si, ri).astype(np.int64)
     off = np.int64(1 << 26)
+    # bit-63 scheme tag (part of the pinned id spec, h3hex.py r4): engine
+    # hex ids are negative int64s, disjoint from official h3lib indexes
     cell = (
-        (np.int64(res) << np.int64(59))
+        np.int64(-(2**63))
+        | (np.int64(res) << np.int64(59))
         | (face.astype(np.int64) << np.int64(54))
         | ((qi + off) << np.int64(27))
         | (ri + off)
