@@ -28,8 +28,10 @@ from pyspark.sql.types import (
 )
 
 from .geom import (
+    as_components,
     cell_rect_intersects_geom,
     cell_rect_intersects_polygon,  # noqa: F401  (re-export)
+    flatten_parts,
     geom_is_closed,
     parse_wkt,  # noqa: F401  (re-export)
     parse_wkt_multi,
@@ -265,7 +267,7 @@ def distinct_polygon_tiers(
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def _tiers(wkt: pd.Series) -> pd.Series:
-        coords = [np.vstack(parse_wkt_multi(w)[1]) for w in wkt]
+        coords = [np.vstack(flatten_parts(parse_wkt_multi(w))) for w in wkt]
         env = np.array(
             [
                 (c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max())
@@ -388,8 +390,8 @@ def polygon_cells_np(
     else:
         geoms = [parse_wkt_multi(w) for w in wkts]
     env = np.empty((n, 4), dtype=np.float64)
-    for i, (_, parts) in enumerate(geoms):
-        c = np.vstack(parts)
+    for i, g in enumerate(geoms):
+        c = np.vstack(flatten_parts(g))
         env[i] = (c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max())
     row, tier, cell = strategy.envelope_insertion_ids(
         env[:, 0] - buffer,
@@ -411,11 +413,13 @@ def polygon_cells_np(
             span_y = strategy.dim_y.range / (1 << t)
             rminx = strategy.dim_x.min + cx.astype(np.float64) * span_x - buffer
             rminy = strategy.dim_y.min + cy.astype(np.float64) * span_y - buffer
-            kind, parts = geoms[i]
-            hit = cell_rect_intersects_geom(
-                rminx, rminy, rminx + span_x + 2 * buffer, rminy + span_y + 2 * buffer,
-                parts, geom_is_closed(kind),
-            )
+            hit = np.zeros(int(m.sum()), dtype=bool)
+            for kind, parts in as_components(geoms[i]):
+                hit |= cell_rect_intersects_geom(
+                    rminx, rminy,
+                    rminx + span_x + 2 * buffer, rminy + span_y + 2 * buffer,
+                    parts, geom_is_closed(kind),
+                )
             keep_mask[np.nonzero(m)[0][~hit]] = False
     return row[keep_mask], tier[keep_mask], cell[keep_mask]
 

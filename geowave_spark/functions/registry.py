@@ -32,6 +32,8 @@ from pyspark.sql.types import BooleanType, DoubleType, StringType
 
 from ..geom import (
     GeomBatch,
+    any_pair_dist2,
+    as_components,
     geom_is_closed,
     geoms_pair_dist2,
     parse_wkt_multi,
@@ -91,7 +93,10 @@ def _pairwise_dist2(a: pd.Series, b: pd.Series) -> np.ndarray:
         pts_x, pts_y, rows, geoms = [], [], [], []
         for i in mixed:
             (ka, pa), (kb, pb) = ga[i], gb[i]
-            if ka == "POINT" and kb != "POINT":
+            if ka == "GEOMETRYCOLLECTION" or kb == "GEOMETRYCOLLECTION":
+                # mixed collection: min over component pairs (JTS union)
+                out[i] = any_pair_dist2(ga[i], gb[i])
+            elif ka == "POINT" and kb != "POINT":
                 pts_x.append(pa[0][0, 0]); pts_y.append(pa[0][0, 1]); geoms.append(gb[i]); rows.append(i)
             elif kb == "POINT":
                 pts_x.append(pb[0][0, 0]); pts_y.append(pb[0][0, 1]); geoms.append(ga[i]); rows.append(i)
@@ -158,6 +163,11 @@ def _relate_point_fast(a: pd.Series, b: pd.Series, point_side: str, want) -> pd.
 def _intersects_pair(a, b) -> bool:
     """Kind-aware INTERSECTS on parsed-multi geometries."""
     (ka, pa), (kb, pb) = a, b
+    if ka == "GEOMETRYCOLLECTION" or kb == "GEOMETRYCOLLECTION":
+        # mixed collection: any component pair intersects (JTS union)
+        return any(
+            _intersects_pair(x, y) for x in as_components(a) for y in as_components(b)
+        )
     if ka == "POINT" and kb == "POINT":
         return bool(np.all(pa[0][0] == pb[0][0]))
     if ka == "POINT" or kb == "POINT":

@@ -78,9 +78,82 @@ def parse_wkt_multi(wkt: str) -> tuple[str, list[np.ndarray]]:
         parts = [
             _coords(ring) for g in _split_groups(body) for ring in _split_groups(g)
         ]
+    elif kind == "GEOMETRYCOLLECTION":
+        # JTS semantics: a collection is the UNION of its components
+        # (r4, VERDICT r3 Next #5).  A single-dimension collection
+        # collapses losslessly to its MULTI* kind, so every existing
+        # kind-aware consumer handles it unchanged; a mixed-dimension
+        # collection keeps per-component kinds — (kind, [(kind, parts),
+        # ...]) — because one geometry-level closed flag cannot describe
+        # it.  Consumers that cannot route per component (DE-9IM relate)
+        # raise, matching JTS RelateOp's IllegalArgumentException on
+        # GeometryCollection.
+        comps = [parse_wkt_multi(item) for item in _split_top_commas(body)]
+        flat: list[tuple[str, list[np.ndarray]]] = []
+        for k, ps in comps:
+            if k == "GEOMETRYCOLLECTION":  # nested mixed collection
+                flat.extend(ps)
+            elif ps:
+                flat.append((k, ps))
+        fams = {_KIND_FAMILY[k] for k, _ in flat}
+        if not fams:
+            return kind, []
+        if len(fams) == 1:
+            return _FAMILY_KIND[fams.pop()], [p for _, ps in flat for p in ps]
+        return kind, flat
     else:
         raise ValueError(f"unsupported WKT kind: {kind}")
     return kind, parts
+
+
+_KIND_FAMILY = {
+    "POINT": 0, "MULTIPOINT": 0,
+    "LINESTRING": 1, "MULTILINESTRING": 1,
+    "POLYGON": 2, "MULTIPOLYGON": 2,
+}
+_FAMILY_KIND = {0: "MULTIPOINT", 1: "MULTILINESTRING", 2: "MULTIPOLYGON"}
+
+
+def _split_top_commas(body: str) -> list[str]:
+    """Split at depth-0 commas: 'POINT (1 2), LINESTRING (0 0, 1 1)' →
+    ['POINT (1 2)', 'LINESTRING (0 0, 1 1)']."""
+    items, depth, start = [], 0, 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items.append(body[start:i])
+            start = i + 1
+    items.append(body[start:])
+    return [s.strip() for s in items if s.strip()]
+
+
+def as_components(g: tuple[str, list]) -> list[tuple[str, list[np.ndarray]]]:
+    """Homogeneous components of a parsed geometry: [(kind, parts), ...]
+    (singleton for non-collections; per-component for mixed collections)."""
+    return list(g[1]) if g[0] == "GEOMETRYCOLLECTION" else [g]
+
+
+def flatten_parts(g: tuple[str, list]) -> list[np.ndarray]:
+    """All coordinate parts of a parsed geometry regardless of kind —
+    for envelope/coordinate consumers that don't need per-part kinds."""
+    return [p for _, ps in as_components(g) for p in ps]
+
+
+def any_pair_dist2(a: tuple[str, list], b: tuple[str, list]) -> float:
+    """Squared distance between two parsed geometries of ANY kind
+    (collections = min over component pairs — JTS union semantics)."""
+    best = np.inf
+    for ka, pa in as_components(a):
+        for kb, pb in as_components(b):
+            d = geoms_pair_dist2(pa, geom_is_closed(ka), pb, geom_is_closed(kb))
+            if d < best:
+                best = d
+            if best == 0.0:
+                return 0.0
+    return float(best)
 
 
 def _coords(txt: str) -> np.ndarray:
@@ -264,14 +337,19 @@ class GeomBatch:
         parts: list[np.ndarray] = []
         closed: list[bool] = []
         part_geom: list[int] = []
-        for gi, (kind, ps) in enumerate(parsed):
-            c = geom_is_closed(kind)
-            for p in ps:
-                if c and len(p) > 1 and np.array_equal(p[0], p[-1]):
-                    p = p[:-1]
-                parts.append(p)
-                closed.append(bool(c) and len(p) >= 3)
-                part_geom.append(gi)
+        for gi, g in enumerate(parsed):
+            # mixed GEOMETRYCOLLECTION (r4): flatten components with
+            # PER-PART closedness — the parity containment rule then sees
+            # only the polygon-family rings, which is exactly the union
+            # semantics MULTIPOLYGON already gets
+            for kind, ps in as_components(g):
+                c = geom_is_closed(kind)
+                for p in ps:
+                    if c and len(p) > 1 and np.array_equal(p[0], p[-1]):
+                        p = p[:-1]
+                    parts.append(p)
+                    closed.append(bool(c) and len(p) >= 3)
+                    part_geom.append(gi)
         self.n = len(parsed)
         if parts:
             E = max(len(p) for p in parts)

@@ -779,13 +779,13 @@ def _explode_wkt_envelope_cells(
     )
 
     def _gen(batches):
-        from ..geom import parse_wkt_multi
+        from ..geom import flatten_parts, parse_wkt_multi
 
         for pdf in batches:
             wkts = pdf[wkt_col]
             env = np.empty((len(wkts), 4), dtype=np.float64)
             for i, w in enumerate(wkts):
-                c = np.vstack(parse_wkt_multi(w)[1])
+                c = np.vstack(flatten_parts(parse_wkt_multi(w)))
                 env[i] = (c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max())
             row, cell = strategy.envelope_cells_at_tier(
                 env[:, 0], env[:, 1], env[:, 2], env[:, 3], tier
@@ -857,7 +857,7 @@ def _geom_pair_match_udf(radius: float | None, predicate: str | None = None):
 
     @F.pandas_udf("boolean")
     def _m(wa: pd.Series, wb: pd.Series) -> pd.Series:
-        from ..geom import geom_is_closed, geoms_pair_dist2, parse_wkt_multi
+        from ..geom import any_pair_dist2, parse_wkt_multi
 
         cache: dict[str, tuple[str, list[np.ndarray]]] = {}
 
@@ -870,8 +870,7 @@ def _geom_pair_match_udf(radius: float | None, predicate: str | None = None):
 
         out = np.zeros(len(wa), dtype=bool)
         for i, (x, y) in enumerate(zip(wa, wb)):
-            (ka, pa), (kb, pb) = p(x), p(y)
-            d2 = geoms_pair_dist2(pa, geom_is_closed(ka), pb, geom_is_closed(kb))
+            d2 = any_pair_dist2(p(x), p(y))
             out[i] = d2 <= r2
         return pd.Series(out)
 

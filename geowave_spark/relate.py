@@ -464,6 +464,16 @@ def relate(a: PreparedGeom, b: PreparedGeom) -> tuple[np.ndarray, int]:
 def prepare(parsed) -> PreparedGeom:
     if isinstance(parsed, PreparedGeom):
         return parsed
+    if parsed[0] == "GEOMETRYCOLLECTION":
+        # JTS RelateOp parity: DE-9IM relate does not support
+        # mixed-dimension GeometryCollection arguments (homogeneous
+        # collections parse to their MULTI* kind and never reach here);
+        # intersects/distance route per component instead (geom.py r4)
+        raise ValueError(
+            "DE-9IM relate on a mixed-dimension GEOMETRYCOLLECTION is "
+            "unsupported (JTS RelateOp raises the same way); use "
+            "intersects/distance, which apply union-of-components semantics"
+        )
     return PreparedGeom(*parsed)
 
 
