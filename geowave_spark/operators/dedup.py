@@ -151,19 +151,34 @@ def minhash_lsh_dedup(
     @F.pandas_udf(DoubleType())
     def _jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
         # shingle each DISTINCT text once per batch (candidate pairs share
-        # texts heavily); the remaining per-pair step is one sorted-array
-        # intersection — verify-stage only, bounded by candidate count
-        codes_a, uniq = pd.factorize(pd.concat([ta, tb], ignore_index=True))
-        sh = [_shingles(t or "", shingle) for t in uniq]
+        # texts heavily), then verify the WHOLE batch with one lexsort:
+        # gather every pair's two unique shingle sets tagged by pair id,
+        # sort by (pair, value), and count adjacent duplicates — per-pair
+        # |A∩B| without any per-pair Python loop
         n = len(ta)
-        out = np.empty(n)
-        for i in range(n):
-            sa = sh[codes_a[i]]
-            sb = sh[codes_a[n + i]]
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            denom = sa.size + sb.size - inter
-            out[i] = inter / denom if denom else 1.0
-        return pd.Series(out)
+        if not n:
+            return pd.Series(np.zeros(0))
+        codes, uniq = pd.factorize(pd.concat([ta, tb], ignore_index=True))
+        sh = [_shingles(t or "", shingle) for t in uniq]
+        lens = np.array([s.size for s in sh], dtype=np.int64)
+        off = np.concatenate(([0], np.cumsum(lens)))
+        allsh = np.concatenate(sh)
+        ja, jb = codes[:n], codes[n:]
+        # interleave (a, b) segment starts/lengths per pair
+        starts = np.empty(2 * n, dtype=np.int64)
+        starts[0::2], starts[1::2] = off[ja], off[jb]
+        cnts = np.empty(2 * n, dtype=np.int64)
+        cnts[0::2], cnts[1::2] = lens[ja], lens[jb]
+        seg0 = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+        idx = np.repeat(starts - seg0, cnts) + np.arange(int(cnts.sum()))
+        vals = allsh[idx]
+        pair = np.repeat(np.arange(n), cnts[0::2] + cnts[1::2])
+        order = np.lexsort((vals, pair))
+        sv, sp = vals[order], pair[order]
+        dup = (sv[1:] == sv[:-1]) & (sp[1:] == sp[:-1])
+        inter = np.bincount(sp[1:][dup], minlength=n)
+        denom = lens[ja] + lens[jb] - inter
+        return pd.Series(np.where(denom > 0, inter / np.maximum(denom, 1), 1.0))
 
     return (
         cand.withColumn("jaccard", _jaccard("_ta", "_tb"))
