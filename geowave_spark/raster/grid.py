@@ -91,11 +91,13 @@ def tile_rasters(
     strategy: TieredStrategy | None = None,
 ) -> DataFrame:
     """Rows (raster_id, data: binary of (h, w, bands) ``spec.dtype``,
-    w, h, lon, lat, res) → GRID_TILE_SCHEMA tile rows.
+    w, h, lon, lat, res[, res_y]) → GRID_TILE_SCHEMA tile rows.
 
     Nearest-neighbor lattice gather per raster (one resample per image,
     not per cell), nodata fill outside the footprint — the dtype-generic
-    twin of ``tiling.tile_images``.
+    twin of ``tiling.tile_images``.  An optional ``res_y`` column carries
+    an anisotropic y resolution (reprojected GeoTIFFs); tier choice uses
+    the finer axis so no detail is lost.
     """
     strat = strategy or TieredStrategy()
     ts = tile_size
@@ -109,8 +111,9 @@ def tile_rasters(
                     int(r.h), int(r.w), spec.bands
                 )
                 res = float(r.res)
+                res_y = float(getattr(r, "res_y", res) or res)
                 minx, miny = float(r.lon), float(r.lat)
-                t = pick_tier(res, ts, strat)
+                t = pick_tier(min(res, res_y), ts, strat)
                 span_x = strat.dim_x.range / (1 << t)
                 span_y = strat.dim_y.range / (1 << t)
                 gx, gy, cells = _cells_for_envelope(
@@ -119,7 +122,7 @@ def tile_rasters(
                     minx,
                     miny,
                     min(minx + px.shape[1] * res, strat.dim_x.max),
-                    min(miny + px.shape[0] * res, strat.dim_y.max),
+                    min(miny + px.shape[0] * res_y, strat.dim_y.max),
                 )
                 ax, ay = int(gx.min()), int(gy.min())
                 ncx = int(gx.max()) - ax + 1
@@ -127,7 +130,7 @@ def tile_rasters(
                 lat_x = strat.dim_x.min + ax * span_x + (np.arange(ncx * ts) + 0.5) * (span_x / ts)
                 lat_y = strat.dim_y.min + ay * span_y + (np.arange(ncy * ts) + 0.5) * (span_y / ts)
                 sx = np.floor((lat_x - minx) / res).astype(np.int64)
-                sy = np.floor((lat_y - miny) / res).astype(np.int64)
+                sy = np.floor((lat_y - miny) / res_y).astype(np.int64)
                 h, w = px.shape[:2]
                 okx = (sx >= 0) & (sx < w)
                 oky = (sy >= 0) & (sy < h)
@@ -151,6 +154,8 @@ def tile_rasters(
             yield pd.DataFrame(rows, columns=[f.name for f in GRID_TILE_SCHEMA.fields])
 
     cols = ["raster_id", "data", "w", "h", "lon", "lat", "res"]
+    if "res_y" in rasters.columns:
+        cols.append("res_y")
     return rasters.select(*cols).mapInPandas(_tiles, GRID_TILE_SCHEMA)
 
 

@@ -14,8 +14,9 @@ the multimodal codec stubs).
 
 ``read_geotiffs`` loads a directory/glob of .tif files into rows
 matching :func:`geowave_spark.raster.grid.tile_rasters` input
-(raster_id, data, w, h, lon, lat, res), decoding on executors via
-``binaryFile``.
+(raster_id, data, w, h, lon, lat, res, res_y), decoding on executors
+via ``binaryFile``; ``res_y`` differs from ``res`` for anisotropic
+pixel scales and reprojected envelopes.
 """
 
 from __future__ import annotations
@@ -298,6 +299,7 @@ def write_geotiff(
     predictor: int = 1,
     tile_size: int | None = None,
     crs: str = "EPSG:4326",
+    res_y: float | None = None,
 ) -> None:
     """Little-endian GeoTIFF writer — strip (default, one strip) or tiled
     layout, optional Deflate/LZW compression and horizontal-differencing
@@ -369,7 +371,7 @@ def write_geotiff(
         ent(278, 4, 1, value=h)
         offs_entry(273, 279)
     ent(339, 3, spp, packed=struct.pack("<" + "H" * spp, *([sfmt] * spp)))
-    ent(33550, 12, 3, packed=struct.pack("<3d", res, res, 0.0))
+    ent(33550, 12, 3, packed=struct.pack("<3d", res, res_y if res_y else res, 0.0))
     ent(33922, 12, 6, packed=struct.pack("<6d", 0, 0, 0, origin[0], origin[1], 0))
     # GeoKeyDirectory: model type + raster type + the EPSG code (geokey
     # 2048 for geographic CRSes, 3072 for projected)
@@ -423,18 +425,25 @@ def read_geotiffs(
 
         name = row["path"].rsplit("/", 1)[-1]
         arr, meta = parse_geotiff(bytes(row["content"]))
-        res = float(meta.get("pixel_scale", (1.0, 1.0, 0.0))[0])
+        scale = meta.get("pixel_scale", (1.0, 1.0, 0.0))
+        res = float(scale[0])
+        res_y = float(scale[1]) or res
         ox, oy = meta.get("origin", (0.0, 0.0))
         h, w, bands = arr.shape
         # GeoTIFF origin is the top-left corner with north-up rows
-        sw_lat = float(oy) - h * res
+        sw_lat = float(oy) - h * res_y
         src = meta.get("crs", "EPSG:4326")
         if src != to_crs:
             env = reproject_envelope(
                 (float(ox), sw_lat, float(ox) + w * res, float(oy)), src, to_crs
             )
             ox, sw_lat = env[0], env[1]
+            # a reprojected envelope is generally ANISOTROPIC (e.g. any
+            # UTM/3857 → 4326 away from the equator): carry separate x/y
+            # resolutions so the north edge lands at env[3] exactly
+            # instead of sw_lat + h*res_x (round-3 ADVICE)
             res = (env[2] - env[0]) / w
+            res_y = (env[3] - env[1]) / h
         flipped = np.ascontiguousarray(arr[::-1])
         return (
             name,
@@ -446,11 +455,12 @@ def read_geotiffs(
             float(ox),
             float(sw_lat),
             res,
+            res_y,
         )
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")
     return spark.createDataFrame(
         files.rdd.map(_decode),
         "raster_id string, data binary, w int, h int, bands int, dtype string, "
-        "lon double, lat double, res double",
+        "lon double, lat double, res double, res_y double",
     )

@@ -360,3 +360,50 @@ class TestGeoTiffCRS:
         assert row["lon"] + row["w"] * row["res"] >= lon_f[0] - 1e-6
         # ~10 km at 45N is ~0.127° lon — sanity-check the degree res
         assert 0.10 < row["w"] * row["res"] < 0.16
+
+    def test_reprojection_carries_anisotropic_res_y(self, spark, tmp_path):
+        """UTM→4326 away from the equator shrinks the y extent in degrees
+        relative to x; the north edge must land at the reprojected top
+        latitude via res_y, not at sw_lat + h*res_x (round-3 ADVICE)."""
+        from geowave_spark.crs import transform_np
+        from geowave_spark.sources.geotiff import read_geotiffs, write_geotiff
+
+        lon0, lat0 = 2.0, 45.0
+        x0, y0 = transform_np(np.array([lon0]), np.array([lat0]), "EPSG:4326", "EPSG:32631")
+        w = h = 100
+        res_m = 100.0
+        arr = np.ones((h, w, 1), dtype=np.uint8)
+        write_geotiff(
+            str(tmp_path / "t.tif"),
+            arr,
+            origin=(float(x0[0]), float(y0[0]) + h * res_m),
+            res=res_m,
+            crs="EPSG:32631",
+        )
+        row = read_geotiffs(spark, str(tmp_path)).collect()[0]
+        # at 45N a degree of latitude spans ~111 km vs ~78.8 km per degree
+        # of longitude, so the degree-space pixel is anisotropic
+        assert abs(row["res_y"] - row["res"]) > 0.15 * row["res"]
+        # north edge covers the reprojected top corner exactly (±1e-9)
+        _, yt = transform_np(
+            np.array([x0[0] + w * res_m / 2]),
+            np.array([y0[0] + h * res_m]),
+            "EPSG:32631",
+            "EPSG:4326",
+        )
+        top = row["lat"] + row["h"] * row["res_y"]
+        assert top >= yt[0] - 1e-9
+        # ~10 km of northing at 45N ≈ 0.090°; sanity-check the y span
+        assert 0.085 < row["h"] * row["res_y"] < 0.095
+
+    def test_anisotropic_pixel_scale_round_trip(self, tmp_path):
+        """A source file whose ModelPixelScale y differs from x keeps both
+        through parse (no silent isotropy assumption)."""
+        from geowave_spark.sources.geotiff import parse_geotiff, write_geotiff
+
+        arr = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+        p = str(tmp_path / "a.tif")
+        write_geotiff(p, arr, origin=(10.0, 20.0), res=0.5, res_y=0.25)
+        _, meta = parse_geotiff(open(p, "rb").read())
+        assert meta["pixel_scale"][0] == 0.5
+        assert meta["pixel_scale"][1] == 0.25

@@ -411,3 +411,64 @@ def test_tile_pyramid_levels(spark):
         assert tiers == {t0, t0 - 1, t0 - 2}
         counts = dict(zip(grp["tier"], grp["count"]))
         assert counts[t0 - 1] <= counts[t0] and counts[t0 - 2] <= counts[t0 - 1]
+
+
+class TestAnisotropicTiling:
+    """res_y-aware lattice gather: reprojected rasters whose degree-space
+    pixels are taller than wide must place northern rows at
+    lat + j*res_y, not lat + j*res_x (round-3 ADVICE)."""
+
+    def test_row_placement_uses_res_y(self, spark):
+        import pandas as pd
+
+        from geowave_spark.raster.grid import RasterSpec, tile_rasters
+        from geowave_spark.raster.tiling import TieredStrategy
+
+        spec = RasterSpec(bands=1, dtype="float32", nodata=float("nan"))
+        h, w = 40, 64
+        res, res_y = 0.002, 0.0035
+        lon0, lat0 = -10.0, 5.0
+        # row j (south-up) carries the constant value j
+        arr = np.repeat(
+            np.arange(h, dtype=np.float32)[:, None, None], w, axis=1
+        )
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    {
+                        "raster_id": "a0",
+                        "data": arr.tobytes(),
+                        "w": w,
+                        "h": h,
+                        "lon": lon0,
+                        "lat": lat0,
+                        "res": res,
+                        "res_y": res_y,
+                    }
+                ]
+            )
+        )
+        strat = TieredStrategy()
+        from geowave_spark.sfc.hilbert import hilbert_to_xy
+
+        tiles = {(r["tier"], r["cell"]): r for r in tile_rasters(df, spec, 16, strat).collect()}
+        assert tiles
+        t = next(iter(tiles))[0]
+        span = strat.dim_y.range / (1 << t)
+        spanx = strat.dim_x.range / (1 << t)
+        # probe every 16th lattice sample inside the footprint
+        hits = 0
+        for (tier, cell), r in tiles.items():
+            px = spec.to_array(r["tile"], 16)
+            xs, ys = hilbert_to_xy(np.array([cell], dtype=np.uint64), tier)
+            ix, iy = int(xs[0]), int(ys[0])
+            for py in range(0, 16, 5):
+                for pxi in range(0, 16, 5):
+                    lat = strat.dim_y.min + iy * span + (py + 0.5) * (span / 16)
+                    lon = strat.dim_x.min + ix * spanx + (pxi + 0.5) * (spanx / 16)
+                    sy = int(np.floor((lat - lat0) / res_y))
+                    sx = int(np.floor((lon - lon0) / res))
+                    if 0 <= sy < h and 0 <= sx < w:
+                        assert px[py, pxi, 0] == float(sy)
+                        hits += 1
+        assert hits > 20
