@@ -8,7 +8,13 @@ to Geometry.touches/crosses/… — JTS RelateOp).  Everything here is pure
 numpy over the parsed-multi representation from :mod:`geowave_spark.geom`;
 no shapely.
 
-Method (exact for valid piecewise-linear input, no epsilons):
+Method (exact for valid piecewise-linear input whose contact parameters
+are representable in double precision — e.g. lattice or dyadic-rational
+coordinates; for inputs with nearly-parallel edges or nearly-coincident
+contacts the rounded split parameters t = qpxs/rxs can land a midpoint
+on the wrong side, where JTS would fall back to robust orientation
+predicates.  Near-duplicate split parameters are snapped within 1e-12
+before midpoint classification to keep slivers from degrading this):
 
 * Every boundary/line contact between two segment sets is one of
   (a) a PROPER crossing — opposite strict orientation signs both ways,
@@ -311,6 +317,14 @@ def _subsegments(a: PreparedGeom, b: PreparedGeom):
             ) / len2[i]
             ts.extend(np.clip(tv, 0.0, 1.0).tolist())
         tt = np.unique(np.clip(np.asarray(ts, dtype=np.float64), 0.0, 1.0))
+        if len(tt) > 1:
+            # snap split parameters that agree to within 1e-12: the same
+            # geometric contact can arrive via two float routes (proper
+            # intersection t vs vertex-on-edge projection) differing in
+            # the last ulps; without snapping the sliver between them
+            # yields a midpoint AT the contact, whose side classification
+            # is unreliable (round-3 ADVICE)
+            tt = tt[np.concatenate(([True], np.diff(tt) > 1e-12))]
         tm = (tt[:-1] + tt[1:]) / 2.0
         tm = tm[tt[:-1] < tt[1:]]
         if not len(tm):

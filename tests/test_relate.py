@@ -258,3 +258,55 @@ def test_relate_rect_closed_form_property(seed):
         assert relate_covers(a, b) == a_cov_b, key
         assert relate_equals(a, b) == (a_cov_b and b_cov_a), key
         assert relate_crosses(a, b) is False, key
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_relate_sheared_lattice_closed_form_property(seed):
+    """Rotated/sheared sweep (round-3 ADVICE): the rectangle closed-form
+    truth pushed through random unimodular integer affine maps.  Such a
+    map (det ±1, integer entries, small translation) is a topological
+    homeomorphism, so every DE-9IM predicate is invariant — and since
+    lattice points map to lattice points, the transformed coordinates
+    stay EXACT doubles, keeping the closed-form truth sound for inputs
+    with non-axis-aligned (sheared, 90°-rotated, reflected) edges."""
+    from geowave_spark.relate import prepare
+
+    rng = np.random.default_rng(300 + seed)
+    maps = [
+        np.array([[1, 2], [0, 1]]),    # shear x by 2y
+        np.array([[1, 0], [3, 1]]),    # shear y by 3x
+        np.array([[0, -1], [1, 0]]),   # rotate 90°
+        np.array([[2, 1], [1, 1]]),    # general unimodular (diagonal edges)
+        np.array([[-1, 0], [0, 1]]),   # reflect x
+        np.array([[1, 1], [1, 2]]),    # another unimodular shear
+    ]
+
+    def poly(x0, y0, x1, y1, T, tx, ty):
+        pts = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+        q = pts @ T.T + np.array([tx, ty])
+        ring = ", ".join(f"{int(px)} {int(py)}" for px, py in q)
+        return prepare(parse_wkt_multi(f"POLYGON (({ring}))"))
+
+    for _ in range(250):
+        ax0, ay0 = rng.integers(0, 8, size=2)
+        aw, ah = rng.integers(1, 4, size=2)
+        bx0, by0 = rng.integers(0, 8, size=2)
+        bw, bh = rng.integers(1, 4, size=2)
+        ax1, ay1 = ax0 + aw, ay0 + ah
+        bx1, by1 = bx0 + bw, by0 + bh
+        closures = ax0 <= bx1 and bx0 <= ax1 and ay0 <= by1 and by0 <= ay1
+        interiors = min(ax1, bx1) > max(ax0, bx0) and min(ay1, by1) > max(ay0, by0)
+        a_cov_b = ax0 <= bx0 and ax1 >= bx1 and ay0 <= by0 and ay1 >= by1
+        b_cov_a = bx0 <= ax0 and bx1 >= ax1 and by0 <= ay0 and by1 >= ay1
+        T = maps[int(rng.integers(0, len(maps)))]
+        tx, ty = rng.integers(-5, 6, size=2)
+        a = poly(ax0, ay0, ax1, ay1, T, tx, ty)
+        b = poly(bx0, by0, bx1, by1, T, tx, ty)
+        key = (ax0, ay0, ax1, ay1, bx0, by0, bx1, by1, T.tolist(), tx, ty)
+        assert relate_intersects(a, b) == closures, key
+        assert relate_touches(a, b) == (closures and not interiors), key
+        assert relate_overlaps(a, b) == (interiors and not a_cov_b and not b_cov_a), key
+        assert relate_contains(a, b) == a_cov_b, key
+        assert relate_covers(a, b) == a_cov_b, key
+        assert relate_equals(a, b) == (a_cov_b and b_cov_a), key
+        assert relate_crosses(a, b) is False, key
