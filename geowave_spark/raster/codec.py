@@ -6,12 +6,13 @@ The engine treats images as opaque ``binary`` columns with typed metadata
 - ``bmp``: standard uncompressed 24-bit BMP (lossless).
 - ``png``: real PNG — encode uses filter 0 + zlib; decode implements all
   five scanline filters (8-bit RGB only).  Lossless.
-- ``jpeg``: **deterministic lossy stand-in** — no JPEG library exists in
-  this container, so per the driver brief the DCT codec is stubbed: pixels
-  are quantized to 6 bits/channel (max error ±2 → PSNR ≈ 46 dB, exercising
-  the PSNR≥40dB invariant path) and stored in a PNG container with a
-  ``JQNT`` marker chunk.  The Spark-side plumbing (schema, batching,
-  decode-UDF signature) is identical to what a real JPEG codec would use.
+- ``jpeg``: the FIXTURE format — a **deterministic lossy stand-in**
+  (pixels quantized to 6 bits/channel → PSNR ≈ 46 dB, stored in a PNG
+  container with a ``jQNT`` chunk) so fixture bytes stay bit-stable
+  across rounds.  ``decode_image`` sniffs the FFD8 magic, so REAL
+  JPEG/JFIF bytes in a ``jpeg`` column decode through the baseline DCT
+  codec in :mod:`geowave_spark.raster.jpeg` (also exposed as the
+  ``jfif`` codec name).
 
 All functions operate on (h, w, 3) uint8 arrays.
 """
@@ -166,10 +167,24 @@ def decode_jpeg_stub(data: bytes) -> np.ndarray:
     return decode_png(data)
 
 
+def _encode_jfif(px: np.ndarray) -> bytes:
+    from .jpeg import encode_jpeg
+
+    return encode_jpeg(px, quality=90)
+
+
+def _decode_jfif(data: bytes) -> np.ndarray:
+    from .jpeg import decode_jpeg
+
+    return decode_jpeg(data)
+
+
 CODECS = {
     "bmp": (encode_bmp, decode_bmp),
     "png": (encode_png, decode_png),
     "jpeg": (encode_jpeg_stub, decode_jpeg_stub),
+    # real baseline DCT JPEG (ITU-T T.81) — see raster/jpeg.py
+    "jfif": (_encode_jfif, _decode_jfif),
 }
 
 
@@ -178,6 +193,11 @@ def encode_image(px: np.ndarray, fmt: str) -> bytes:
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    # fixture "jpeg" columns hold the deterministic PNG-container
+    # stand-in, but real-world jpeg bytes start with the FFD8 marker —
+    # sniff so externally produced rows decode through the real codec
+    if fmt == "jpeg" and data[:2] == b"\xff\xd8":
+        return _decode_jfif(data)
     return CODECS[fmt][1](data)
 
 

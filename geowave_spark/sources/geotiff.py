@@ -8,9 +8,12 @@ either endianness, STRIP or TILE layout, Compression 1 (none),
 (PackBits), Predictor 2 (horizontal differencing), uint8 / uint16 /
 int16 / float32 / float64 samples, chunky planar config, and the two
 GeoTIFF placement tags that cover axis-aligned rasters —
-ModelPixelScale (33550) + ModelTiepoint (33922).  Palette, JPEG and
-planar-separate TIFFs raise with a clear message (honest partial, like
-the multimodal codec stubs).
+ModelPixelScale (33550) + ModelTiepoint (33922).  New-style JPEG
+(Compression=7, full or abbreviated streams + JPEGTables tag 347)
+decodes via the pure-numpy baseline codec in
+:mod:`geowave_spark.raster.jpeg`.  Palette and planar-separate TIFFs
+raise with a clear message (honest partial, like the multimodal codec
+stubs).
 
 ``read_geotiffs`` loads a directory/glob of .tif files into rows
 matching :func:`geowave_spark.raster.grid.tile_rasters` input
@@ -157,6 +160,8 @@ def _decompress(seg: bytes, method: int) -> bytes:
         return lzw_decode(seg)
     if method == 32773:
         return packbits_decode(seg)
+    if method == 6:
+        raise ValueError("old-style JPEG (compression 6) not supported; use 7")
     raise ValueError(f"unsupported TIFF compression {method}")
 
 
@@ -219,8 +224,18 @@ def parse_geotiff(raw: bytes) -> tuple[np.ndarray, dict]:
     if predictor == 2 and dtype.kind == "f":
         raise ValueError("floating-point predictor on float samples not supported")
 
+    jpeg_tables = None
+    if 347 in tags:  # JPEGTables: shared abbreviated table stream (TIFF-EP)
+        jpeg_tables = bytes(tags[347][0])
+
     def seg_array(seg_raw: bytes, rows: int, cols: int) -> np.ndarray:
         """One decompressed strip/tile → (rows, cols, spp), predictor undone."""
+        if compression == 7:  # new-style JPEG: each segment is a JPEG stream
+            from ..raster.jpeg import decode_jpeg
+
+            rgb = decode_jpeg(seg_raw, tables=jpeg_tables)
+            arr = rgb if spp == 3 else rgb[:, :, :1]
+            return arr[:rows, :cols].astype(native)
         plain = _decompress(seg_raw, compression)
         arr = np.frombuffer(plain, dtype=dtype, count=rows * cols * spp).reshape(
             rows, cols, spp
@@ -300,24 +315,40 @@ def write_geotiff(
     tile_size: int | None = None,
     crs: str = "EPSG:4326",
     res_y: float | None = None,
+    jpeg_quality: int = 95,
 ) -> None:
     """Little-endian GeoTIFF writer — strip (default, one strip) or tiled
-    layout, optional Deflate/LZW compression and horizontal-differencing
-    predictor — for tests and round-trips."""
+    layout, optional Deflate/LZW/JPEG compression and
+    horizontal-differencing predictor — for tests and round-trips."""
     h, w, spp = data.shape
     dt = data.dtype
     sfmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
     bits = dt.itemsize * 8
-    method, compress = _COMPRESSORS[compression]
-    if compress is None:
-        raise ValueError(f"writer does not support {compression}")
+    if compression == "jpeg":
+        if dt != np.uint8 or spp not in (1, 3) or predictor != 1:
+            raise ValueError("JPEG compression needs uint8, 1/3 bands, predictor 1")
+        from ..raster.jpeg import encode_jpeg
 
-    def seg_bytes(arr: np.ndarray) -> bytes:
-        if predictor == 2:
-            arr = np.concatenate(
-                [arr[:, :1], (arr[:, 1:] - arr[:, :-1])], axis=1
-            ).astype(dt)
-        return compress(np.ascontiguousarray(arr.astype(dt.newbyteorder("<"))).tobytes())
+        method = 7
+
+        def seg_bytes(arr: np.ndarray) -> bytes:
+            return encode_jpeg(
+                arr if spp == 3 else arr[:, :, 0], quality=jpeg_quality
+            )
+
+    else:
+        method, compress = _COMPRESSORS[compression]
+        if compress is None:
+            raise ValueError(f"writer does not support {compression}")
+
+        def seg_bytes(arr: np.ndarray) -> bytes:
+            if predictor == 2:
+                arr = np.concatenate(
+                    [arr[:, :1], (arr[:, 1:] - arr[:, :-1])], axis=1
+                ).astype(dt)
+            return compress(
+                np.ascontiguousarray(arr.astype(dt.newbyteorder("<"))).tobytes()
+            )
 
     segs: list[bytes] = []
     if tile_size:
@@ -332,6 +363,16 @@ def write_geotiff(
         segs.append(seg_bytes(data))
 
     entries = []  # (tag, type, count, value_bytes_or_int)
+    jpeg_tables_blob = None
+    if method == 7 and len(segs) > 1:
+        # factor the (identical) DQT/DHT out of every tile into the
+        # shared JPEGTables tag and keep abbreviated per-tile streams —
+        # the TIFF-EP layout GDAL emits
+        from ..raster.jpeg import split_tables
+
+        jpeg_tables_blob = split_tables(segs[0])[0]
+        segs = [split_tables(s)[1] for s in segs]
+
     # data layout: header(8) + segment data, IFD after segments
     pix_off = 8
     seg_offs = []
@@ -358,7 +399,8 @@ def write_geotiff(
     ent(257, 4, 1, value=h)
     ent(258, 3, spp, packed=struct.pack("<" + "H" * spp, *([bits] * spp)))
     ent(259, 3, 1, value=method)
-    ent(262, 3, 1, value=1)
+    # PhotometricInterpretation: YCbCr for color JPEG, BlackIsZero else
+    ent(262, 3, 1, value=6 if (method == 7 and spp == 3) else 1)
     ent(277, 3, 1, value=spp)
     ent(284, 3, 1, value=1)
     if predictor != 1:
@@ -371,6 +413,8 @@ def write_geotiff(
         ent(278, 4, 1, value=h)
         offs_entry(273, 279)
     ent(339, 3, spp, packed=struct.pack("<" + "H" * spp, *([sfmt] * spp)))
+    if jpeg_tables_blob:
+        ent(347, 7, len(jpeg_tables_blob), packed=jpeg_tables_blob)
     ent(33550, 12, 3, packed=struct.pack("<3d", res, res_y if res_y else res, 0.0))
     ent(33922, 12, 6, packed=struct.pack("<6d", 0, 0, 0, origin[0], origin[1], 0))
     # GeoKeyDirectory: model type + raster type + the EPSG code (geokey

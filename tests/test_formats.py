@@ -307,10 +307,11 @@ class TestGeoTiffCompression:
         p = str(tmp_path / "u.tif")
         write_geotiff(p, arr, origin=(0.0, 0.0), res=1.0)
         raw = bytearray(open(p, "rb").read())
-        # patch Compression (259) SHORT value to 7 (JPEG)
+        # patch Compression (259) SHORT value to 34712 (JPEG2000 — out of
+        # scope; 7 = baseline JPEG is now supported, see test_jpeg.py)
         i = raw.find(_s.pack("<HHI", 259, 3, 1))
         assert i >= 0
-        raw[i + 8 : i + 10] = _s.pack("<H", 7)
+        raw[i + 8 : i + 10] = _s.pack("<H", 34712)
         with pytest.raises(ValueError, match="compression"):
             parse_geotiff(bytes(raw))
 
