@@ -11,9 +11,10 @@ GeoTIFF placement tags that cover axis-aligned rasters —
 ModelPixelScale (33550) + ModelTiepoint (33922).  New-style JPEG
 (Compression=7, full or abbreviated streams + JPEGTables tag 347)
 decodes via the pure-numpy baseline codec in
-:mod:`geowave_spark.raster.jpeg`.  Palette and planar-separate TIFFs
-raise with a clear message (honest partial, like the multimodal codec
-stubs).
+:mod:`geowave_spark.raster.jpeg`; palette-color (Photometric 3 +
+ColorMap tag 320) and planar-separate (PlanarConfiguration 2) layouts
+decode natively (r4).  Old-style JPEG and progressive streams raise
+with a clear message (honest partial, like the multimodal codec stubs).
 
 ``read_geotiffs`` loads a directory/glob of .tif files into rows
 matching :func:`geowave_spark.raster.grid.tile_rasters` input
@@ -219,48 +220,75 @@ def parse_geotiff(raw: bytes) -> tuple[np.ndarray, dict]:
         raise ValueError(f"unsupported sample format/bits {key}")
     dtype = np.dtype(bo + _SAMPLE_DTYPES[key])
     native = dtype.newbyteorder("=")
-    if int(one(284, 1)) != 1:
-        raise ValueError("planar configuration 2 not supported")
+    planar = int(one(284, 1))
+    if planar not in (1, 2):
+        raise ValueError(f"unsupported planar configuration {planar}")
+    if planar == 2 and compression == 7:
+        raise ValueError("planar-separate JPEG not supported")
     if predictor == 2 and dtype.kind == "f":
         raise ValueError("floating-point predictor on float samples not supported")
+    photometric = int(one(262, 1))
+    if photometric == 3 and (320 not in tags or bits != 8 or spp != 1):
+        raise ValueError("palette TIFF needs 8-bit single-band samples + ColorMap")
 
     jpeg_tables = None
     if 347 in tags:  # JPEGTables: shared abbreviated table stream (TIFF-EP)
         jpeg_tables = bytes(tags[347][0])
 
-    def seg_array(seg_raw: bytes, rows: int, cols: int) -> np.ndarray:
-        """One decompressed strip/tile → (rows, cols, spp), predictor undone."""
+    def seg_array(seg_raw: bytes, rows: int, cols: int, nb: int) -> np.ndarray:
+        """One decompressed strip/tile → (rows, cols, nb), predictor undone.
+        ``nb`` = spp for chunky (planar 1), 1 for planar-separate segments."""
         if compression == 7:  # new-style JPEG: each segment is a JPEG stream
             from ..raster.jpeg import decode_jpeg
 
             rgb = decode_jpeg(seg_raw, tables=jpeg_tables)
-            arr = rgb if spp == 3 else rgb[:, :, :1]
+            arr = rgb if nb == 3 else rgb[:, :, :1]
             return arr[:rows, :cols].astype(native)
         plain = _decompress(seg_raw, compression)
-        arr = np.frombuffer(plain, dtype=dtype, count=rows * cols * spp).reshape(
-            rows, cols, spp
+        arr = np.frombuffer(plain, dtype=dtype, count=rows * cols * nb).reshape(
+            rows, cols, nb
         )
         return _undo_predictor(arr.astype(native), predictor)
 
     data = np.empty((h, w, spp), dtype=native)
+    nb = spp if planar == 1 else 1
     if 322 in tags or 323 in tags:  # tile layout (TIFF 6.0 §15)
         tw, th = int(one(322)), int(one(323))
         offsets, counts = tags[324], tags[325]
         across = -(-w // tw)
+        per_plane = across * (-(-h // th))
         for ti, (soff, scnt) in enumerate(zip(offsets, counts)):
-            ty, tx = divmod(ti, across)
-            tile = seg_array(raw[soff : soff + scnt], th, tw)
+            # planar-separate stores all of plane 0's tiles, then plane 1's…
+            plane, tj = divmod(ti, per_plane) if planar == 2 else (0, ti)
+            ty, tx = divmod(tj, across)
+            tile = seg_array(raw[soff : soff + scnt], th, tw, nb)
             rh = min(th, h - ty * th)
             rw = min(tw, w - tx * tw)
-            data[ty * th : ty * th + rh, tx * tw : tx * tw + rw] = tile[:rh, :rw]
+            dst = data[ty * th : ty * th + rh, tx * tw : tx * tw + rw]
+            if planar == 2:
+                dst[:, :, plane : plane + 1] = tile[:rh, :rw]
+            else:
+                dst[:] = tile[:rh, :rw]
     else:  # strip layout
         offsets, counts = tags[273], tags[279]
         rows_per_strip = int(one(278, h))
-        row = 0
-        for soff, scnt in zip(offsets, counts):
+        per_plane = -(-h // rows_per_strip)
+        for si, (soff, scnt) in enumerate(zip(offsets, counts)):
+            plane, sj = divmod(si, per_plane) if planar == 2 else (0, si)
+            row = sj * rows_per_strip
             nrows = min(rows_per_strip, h - row)
-            data[row : row + nrows] = seg_array(raw[soff : soff + scnt], nrows, w)
-            row += nrows
+            strip = seg_array(raw[soff : soff + scnt], nrows, w, nb)
+            if planar == 2:
+                data[row : row + nrows, :, plane : plane + 1] = strip
+            else:
+                data[row : row + nrows] = strip
+    if photometric == 3:  # palette-color: indices through ColorMap (tag 320)
+        cmap = np.asarray(tags[320], dtype=np.int64)
+        ncolors = cmap.size // 3
+        # ColorMap holds 16-bit intensities, R block then G then B
+        lut = (cmap.reshape(3, ncolors).T >> 8).astype(np.uint8)
+        data = lut[data[:, :, 0]]
+        spp = 3
     meta = {"width": w, "height": h, "bands": spp, "dtype": data.dtype.name}
     if 33550 in tags:
         meta["pixel_scale"] = tags[33550][:3]
@@ -316,17 +344,27 @@ def write_geotiff(
     crs: str = "EPSG:4326",
     res_y: float | None = None,
     jpeg_quality: int = 95,
+    planar: int = 1,
+    colormap: np.ndarray | None = None,
 ) -> None:
-    """Little-endian GeoTIFF writer — strip (default, one strip) or tiled
-    layout, optional Deflate/LZW/JPEG compression and
-    horizontal-differencing predictor — for tests and round-trips."""
+    """Little-endian GeoTIFF writer — strip (default, one strip per
+    plane) or tiled layout, optional Deflate/LZW/JPEG compression,
+    horizontal-differencing predictor, planar-separate (``planar=2``)
+    and palette-color (``colormap``: (256, 3) uint8, data = indices) —
+    for tests and round-trips."""
     h, w, spp = data.shape
+    if planar not in (1, 2):
+        raise ValueError("planar must be 1 or 2")
+    if colormap is not None and (spp != 1 or data.dtype != np.uint8):
+        raise ValueError("palette writing needs uint8 single-band index data")
     dt = data.dtype
     sfmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
     bits = dt.itemsize * 8
     if compression == "jpeg":
-        if dt != np.uint8 or spp not in (1, 3) or predictor != 1:
-            raise ValueError("JPEG compression needs uint8, 1/3 bands, predictor 1")
+        if dt != np.uint8 or spp not in (1, 3) or predictor != 1 or planar != 1:
+            raise ValueError(
+                "JPEG compression needs uint8, 1/3 bands, predictor 1, chunky planar"
+            )
         from ..raster.jpeg import encode_jpeg
 
         method = 7
@@ -350,17 +388,19 @@ def write_geotiff(
                 np.ascontiguousarray(arr.astype(dt.newbyteorder("<"))).tobytes()
             )
 
+    planes = [data] if planar == 1 else [data[:, :, p : p + 1] for p in range(spp)]
     segs: list[bytes] = []
-    if tile_size:
-        ts = tile_size
-        for ty in range(-(-h // ts)):
-            for tx in range(-(-w // ts)):
-                tile = np.zeros((ts, ts, spp), dtype=dt)
-                blk = data[ty * ts : (ty + 1) * ts, tx * ts : (tx + 1) * ts]
-                tile[: blk.shape[0], : blk.shape[1]] = blk
-                segs.append(seg_bytes(tile))
-    else:
-        segs.append(seg_bytes(data))
+    for pl in planes:
+        if tile_size:
+            ts = tile_size
+            for ty in range(-(-h // ts)):
+                for tx in range(-(-w // ts)):
+                    tile = np.zeros((ts, ts, pl.shape[2]), dtype=dt)
+                    blk = pl[ty * ts : (ty + 1) * ts, tx * ts : (tx + 1) * ts]
+                    tile[: blk.shape[0], : blk.shape[1]] = blk
+                    segs.append(seg_bytes(tile))
+        else:
+            segs.append(seg_bytes(pl))
 
     entries = []  # (tag, type, count, value_bytes_or_int)
     jpeg_tables_blob = None
@@ -399,10 +439,15 @@ def write_geotiff(
     ent(257, 4, 1, value=h)
     ent(258, 3, spp, packed=struct.pack("<" + "H" * spp, *([bits] * spp)))
     ent(259, 3, 1, value=method)
-    # PhotometricInterpretation: YCbCr for color JPEG, BlackIsZero else
-    ent(262, 3, 1, value=6 if (method == 7 and spp == 3) else 1)
+    # PhotometricInterpretation: palette / YCbCr-JPEG / BlackIsZero
+    if colormap is not None:
+        ent(262, 3, 1, value=3)
+        cm16 = (colormap.astype(np.uint32) * 257).astype(np.uint16)
+        ent(320, 3, 768, packed=cm16.T.astype("<u2").tobytes())
+    else:
+        ent(262, 3, 1, value=6 if (method == 7 and spp == 3) else 1)
     ent(277, 3, 1, value=spp)
-    ent(284, 3, 1, value=1)
+    ent(284, 3, 1, value=planar)
     if predictor != 1:
         ent(317, 3, 1, value=predictor)
     if tile_size:
