@@ -209,6 +209,16 @@ def main():
         json.dumps(hi.get("extras", {}), indent=2),
         "```",
     ]
+    # persistent narrative (variance history, regression attributions) lives
+    # in BENCH/SCALING_NOTES.md so regeneration can't drop it
+    notes_path = os.path.join(REPO, "BENCH", "SCALING_NOTES.md")
+    if os.path.exists(notes_path):
+        with open(notes_path) as f:
+            notes = f.read()
+        # drop the self-describing header line, keep the body
+        body = "\n".join(notes.splitlines()[1:]).strip()
+        if body:
+            md += ["", body]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     out_name = os.environ.get("SPARK_GRAFT_SCALE_OUT", "BASELINE.md")
     with open(os.path.join(REPO, "BENCH", out_name), "w") as f:

@@ -101,6 +101,10 @@ def main():
             shutil.copy(
                 os.path.join(BENCH, out), os.path.join(BENCH, out + ".best")
             )
+            shutil.copy(
+                os.path.join(BENCH, "scaling_last.json"),
+                os.path.join(BENCH, "scaling_last.json.best"),
+            )
             stale = 0
         else:
             stale += 1
@@ -111,6 +115,9 @@ def main():
         shutil.move(
             os.path.join(BENCH, out + ".best"), os.path.join(BENCH, out)
         )
+        jb = os.path.join(BENCH, "scaling_last.json.best")
+        if os.path.exists(jb):
+            shutil.move(jb, os.path.join(BENCH, "scaling_last.json"))
         print(
             f"kept best pair: headline {best['headline_eff']:.2f}, clean={best['clean']}"
         )
