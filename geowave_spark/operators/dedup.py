@@ -237,29 +237,9 @@ def simhash_pairs(
     Pigeonhole: split the 64-bit signature into (max_hamming+1) chunks; any
     pair within distance d agrees on ≥1 chunk → equi-join per chunk, union,
     exact popcount verify (bit_count is built-in)."""
-    chunks = max_hamming + 1
-    width = 64 // chunks
+    from geowave_spark.operators.imagedup import hamming_pairs
+
     sig = df.select(
         F.col(id_col).alias("_id"), simhash_udf()(F.col(text)).alias("_sig")
     ).cache()
-    mask = (1 << width) - 1
-    exploded = sig.select(
-        "_id",
-        "_sig",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {chunks - 1}), "
-                f"i -> shiftrightunsigned(_sig, i * {width}) & {mask}L)"
-            )
-        ).alias("chunk", "ckey"),
-    )
-    a = exploded.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa"), "chunk", "ckey")
-    b = exploded.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sb"), "chunk", "ckey")
-    return (
-        a.join(b, ["chunk", "ckey"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", F.bit_count(F.expr("_sa ^ _sb")))
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return hamming_pairs(sig, max_hamming)

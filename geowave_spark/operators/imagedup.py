@@ -1,0 +1,161 @@
+"""Image near-duplicate detection: DCT perceptual hash + Hamming banding.
+
+Training-data-pipeline operator over the images table (driver brief —
+image axis).  Design for 100 TB:
+
+- signature: decode (first-party codecs) → luminance → 32×32 area-mean
+  resample (integral image, exact block means) → 2D DCT-II → top-left
+  8×8 low-frequency band minus DC → median threshold → 64-bit pHash.
+  One Arrow-batched pandas UDF; decode is per-image by nature but every
+  later step runs on the whole batch as stacked numpy.
+- pairing: the same pigeonhole banding as SimHash: any pair within
+  Hamming distance d agrees on at least one of d+1 signature chunks →
+  per-chunk equi-join, union, exact ``bit_count`` verify, all inside
+  Catalyst.  No all-pairs stage anywhere; bucket sizes bound the only
+  quadratic-risk step exactly as in :func:`dedup.simhash_pairs`.
+
+The reference has no image-dedup operator; this is a driver-brief
+addition (LLM training-data pipeline family) built on the repo's
+raster codecs (``raster/codec.py``, ``raster/jpeg.py``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+__all__ = ["phash_from_pixels", "phash_udf", "hamming_pairs", "image_phash_neardup"]
+
+
+def _dct_mat(n: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix (same convention as raster/jpeg.py)."""
+    c = np.cos(
+        (2 * np.arange(n)[None, :] + 1) * np.arange(n)[:, None] * np.pi / (2.0 * n)
+    ) * np.sqrt(2.0 / n)
+    c[0] *= 1.0 / np.sqrt(2.0)
+    return c
+
+
+_C32 = _dct_mat(32)
+
+
+def _area_mean_32(g: np.ndarray) -> np.ndarray:
+    """Exact area-mean downsample of a 2-D array to 32×32.
+
+    Integral-image block sums over linspace boundaries; images smaller
+    than 32 on a side are integer-upsampled first so every block is
+    non-empty."""
+    h, w = g.shape
+    if h < 32:
+        g = np.repeat(g, -(-32 // h), axis=0)
+        h = g.shape[0]
+    if w < 32:
+        g = np.repeat(g, -(-32 // w), axis=1)
+        w = g.shape[1]
+    s = np.zeros((h + 1, w + 1), dtype=np.float64)
+    np.cumsum(np.cumsum(g, axis=0, dtype=np.float64), axis=1, out=s[1:, 1:])
+    ys = np.round(np.linspace(0, h, 33)).astype(np.int64)
+    xs = np.round(np.linspace(0, w, 33)).astype(np.int64)
+    y0, y1 = ys[:-1], ys[1:]
+    x0, x1 = xs[:-1], xs[1:]
+    block = (
+        s[y1[:, None], x1[None, :]]
+        - s[y0[:, None], x1[None, :]]
+        - s[y1[:, None], x0[None, :]]
+        + s[y0[:, None], x0[None, :]]
+    )
+    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return block / area
+
+
+def phash_from_pixels(px: np.ndarray) -> int:
+    """Classic DCT pHash of one decoded image, as a signed 64-bit int.
+
+    Luminance → 32×32 area mean → DCT-II → the 8×8 low-frequency
+    corner, DC dropped → each of the remaining 63 coefficients
+    thresholded against their median (bit 63 of the packed hash is the
+    always-zero DC slot, keeping the layout a stable 64-bit word)."""
+    if px.ndim == 3:
+        g = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    else:
+        g = px.astype(np.float64)
+    f = _C32 @ _area_mean_32(g) @ _C32.T
+    low = f[:8, :8].ravel()
+    coeffs = low[1:]  # drop DC: overall brightness must not flip bits
+    bits = coeffs > np.median(coeffs)
+    v = np.uint64(0)
+    for bit in bits.tolist():
+        v = (v << np.uint64(1)) | np.uint64(bit)
+    iv = int(v)
+    return iv - (1 << 64) if iv >= (1 << 63) else iv
+
+
+def phash_udf(bytes_col: str = "bytes", fmt_col: str = "fmt"):
+    """Column expression: (image bytes, format) → 64-bit pHash (long)."""
+
+    @F.pandas_udf(LongType())
+    def _ph(data: pd.Series, fmt: pd.Series) -> pd.Series:
+        from geowave_spark.raster.codec import decode_image
+
+        out = np.zeros(len(data), dtype=np.int64)
+        for k, (raw, f) in enumerate(zip(data, fmt)):
+            out[k] = phash_from_pixels(decode_image(bytes(raw), f))
+        return pd.Series(out)
+
+    return _ph(F.col(bytes_col), F.col(fmt_col))
+
+
+def hamming_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """All id pairs within ``max_hamming`` of their 64-bit signatures.
+
+    ``sig`` must have columns ``_id`` and ``_sig`` (long).  Pigeonhole:
+    split the word into (d+1) chunks; a pair within distance d agrees on
+    ≥1 chunk → equi-join per chunk, dedupe, exact popcount verify — the
+    one shuffle is the chunk-key hash join, candidate work is bounded by
+    bucket sizes, never all-pairs."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    exploded = sig.select(
+        "_id",
+        "_sig",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {chunks - 1}), "
+                f"i -> shiftrightunsigned(_sig, i * {width}) & {mask}L)"
+            )
+        ).alias("chunk", "ckey"),
+    )
+    a = exploded.select(
+        F.col("_id").alias("id_a"), F.col("_sig").alias("_sa"), "chunk", "ckey"
+    )
+    b = exploded.select(
+        F.col("_id").alias("id_b"), F.col("_sig").alias("_sb"), "chunk", "ckey"
+    )
+    return (
+        a.join(b, ["chunk", "ckey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.expr("_sa ^ _sb")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def image_phash_neardup(
+    images: DataFrame,
+    max_hamming: int = 7,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """Near-duplicate image pairs by DCT pHash within ``max_hamming`` bits.
+
+    Output: (id_a, id_b, hamming), id_a < id_b lexicographically."""
+    sig = images.select(
+        F.col(id_col).alias("_id"), phash_udf(bytes_col, fmt_col).alias("_sig")
+    )
+    return hamming_pairs(sig, max_hamming)

@@ -75,6 +75,9 @@ def main():
         "spatial_kde",             # CRS reprojection fused into binning codegen
         "spatial_line_distance_join",  # line envelopes through the tiered join
         "kmeans_hulls",            # deterministic Lloyd iterations
+        "spatial_crosses_join",    # DE-9IM fine filter over the coarse cell phase
+        "tile_assignment",         # zero-shuffle per-image lattice gather
+        "minhash_neardup",         # banded LSH bucket equi-join, no all-pairs
     ]
     lines = [
         "# PLANS.md — physical-plan audit of headline queries",
