@@ -34,6 +34,55 @@ def synthetic_point_stream(spark: SparkSession, rows_per_second: int = 500) -> D
     )
 
 
+POINT_EVENT_SCHEMA = "event_id long, lon double, lat double"
+
+
+def parse_kafka_records(records: DataFrame) -> DataFrame:
+    """Kafka record batch → typed point stream (pure transformation).
+
+    Takes the exact projection Spark's kafka source emits (binary
+    ``key``/``value`` + ``timestamp``) and parses the JSON payload into
+    the synthetic_point_stream shape; malformed payloads yield null
+    fields (from_json PERMISSIVE) and are dropped, mirroring
+    IngestFromKafkaDriver.java:48-54's skip-bad-record behavior.  Being
+    a plain DataFrame transform it runs identically on a batch sample,
+    which is how it is tested without a broker."""
+    parsed = records.select(
+        F.col("timestamp").alias("ts"),
+        F.from_json(F.col("value").cast("string"), POINT_EVENT_SCHEMA).alias("ev"),
+    )
+    return (
+        parsed.select("ts", "ev.event_id", "ev.lon", "ev.lat")
+        .where(
+            F.col("event_id").isNotNull()
+            & F.col("lon").between(-180.0, 180.0)
+            & F.col("lat").between(-90.0, 90.0)
+        )
+    )
+
+
+def kafka_point_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """The production source: ``readStream.format("kafka")`` → JSON parse.
+
+    Requires the spark-sql-kafka package on the cluster (not present in
+    this sandbox — synthetic_point_stream is the drop-in stand-in; every
+    downstream operator takes either).  The reference analog is
+    IngestFromKafkaDriver consuming Avro into the normal ingest path."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return parse_kafka_records(raw)
+
+
 def encode_stream(stream: DataFrame, strategy: TieredStrategy | None = None) -> DataFrame:
     """Add (tier, cell) to a streaming point DataFrame — same pandas UDFs as
     the batch path (Structured Streaming runs them per micro-batch)."""

@@ -215,6 +215,36 @@ class TestStreaming:
         win = windowed_cell_counts(synthetic_point_stream(spark))
         assert win.isStreaming
 
+    def test_parse_kafka_records_batch(self, spark):
+        # the kafka value-parse stage is a pure transform: drive it with a
+        # batch DataFrame shaped exactly like the kafka source's output
+        import json
+
+        from geowave_spark.streaming.ingest import encode_stream, parse_kafka_records
+
+        payloads = [
+            json.dumps({"event_id": 1, "lon": 10.5, "lat": -3.25}),
+            json.dumps({"event_id": 2, "lon": 181.0, "lat": 0.0}),  # out of range
+            "not json at all",                                        # malformed
+            json.dumps({"event_id": 4, "lon": -179.9, "lat": 89.9}),
+            json.dumps({"lon": 1.0, "lat": 1.0}),                     # missing id
+        ]
+        rows = [
+            (str(i).encode(), p.encode(), "points", 0, i)
+            for i, p in enumerate(payloads)
+        ]
+        batch = spark.createDataFrame(
+            rows, "key binary, value binary, topic string, partition int, offset long"
+        ).withColumn("timestamp", F.current_timestamp())
+        got = parse_kafka_records(batch).orderBy("event_id").collect()
+        assert [(r.event_id, r.lon, r.lat) for r in got] == [
+            (1, 10.5, -3.25),
+            (4, -179.9, 89.9),
+        ]
+        # and the parsed shape feeds the same cell encoder as the rate source
+        enc = encode_stream(parse_kafka_records(batch))
+        assert {"tier", "cell"} <= set(enc.columns)
+
 
 class TestStatefulStreaming:
     def test_dedup_stream_plan(self, spark):
