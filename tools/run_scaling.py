@@ -212,7 +212,7 @@ def main():
     # persistent narrative (variance history, regression attributions) lives
     # in BENCH/SCALING_NOTES.md so regeneration can't drop it
     notes_path = os.path.join(REPO, "BENCH", "SCALING_NOTES.md")
-    if os.path.exists(notes_path):
+    if out_name_title == "BASELINE.md" and os.path.exists(notes_path):
         with open(notes_path) as f:
             notes = f.read()
         # drop the self-describing header line, keep the body
