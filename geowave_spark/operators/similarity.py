@@ -211,6 +211,131 @@ def ivf_topk(
     )
 
 
+def quantize_embeddings(
+    corpus: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, np.ndarray, np.ndarray]:
+    """Scalar-quantize an embedding column to int8 codes (binary).
+
+    Returns (codes_df[id, code binary], mins, scales).  Per-dimension
+    min/max come from one mapInPandas partial pass (2×dim doubles per
+    partition collected, never the vectors), so the stats job is a
+    metadata-sized collect at any corpus size.  Codes are 4× smaller
+    than float32 — the 100 TB scan reads 1 byte/dim instead of 4."""
+    out_schema = StructType(
+        [
+            StructField("mn", ArrayType(DoubleType())),
+            StructField("mx", ArrayType(DoubleType())),
+        ]
+    )
+
+    def _minmax(batches):
+        mn = mx = None
+        for pdf in batches:
+            X = np.array(pdf[vec].tolist(), dtype=np.float64)
+            if not len(X):
+                continue
+            bmn, bmx = X.min(axis=0), X.max(axis=0)
+            mn = bmn if mn is None else np.minimum(mn, bmn)
+            mx = bmx if mx is None else np.maximum(mx, bmx)
+        if mn is not None:
+            yield pd.DataFrame({"mn": [mn], "mx": [mx]})
+
+    parts = corpus.select(vec).mapInPandas(_minmax, out_schema).collect()
+    mins = np.min([r["mn"] for r in parts], axis=0)
+    maxs = np.max([r["mx"] for r in parts], axis=0)
+    scales = np.where(maxs > mins, (maxs - mins) / 255.0, 1.0)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((mins, scales))
+
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def _encode(v: pd.Series) -> pd.Series:
+        mn, sc = bc.value
+        X = np.array(v.tolist(), dtype=np.float64)
+        codes = np.clip(np.round((X - mn) / sc), 0, 255).astype(np.uint8)
+        return pd.Series([c.tobytes() for c in codes])
+
+    codes = corpus.select(F.col(id_col).alias("_nid"), _encode(F.col(vec)).alias("_code"))
+    return codes, mins, scales
+
+
+def sq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    overfetch: int = 4,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Scalar-quantized ANN top-k with exact re-rank.
+
+    Pass 1 scans int8 codes only (asymmetric scoring: float queries vs
+    dequantized codes, one numpy matmul per Arrow batch; per-batch
+    partial top-(k·overfetch) like brute_topk).  Pass 2 re-ranks the
+    O(k·overfetch·batches) survivors with exact cosine over the full
+    vectors via an equi-join on id — at 100 TB the code scan is 4× less
+    bandwidth than float32 brute force and the exact join touches only
+    the candidate sliver."""
+    codes, mins, scales = quantize_embeddings(corpus, vec, corpus_id)
+    q_rows = queries.select(
+        F.col(query_id).alias("_qid"), F.col(vec).cast("array<double>").alias("_qv")
+    ).collect()
+    qids = [r["_qid"] for r in q_rows]
+    qm = np.array([r["_qv"] for r in q_rows], dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast((qids, qn, mins, scales))
+    keep_n = k * overfetch + (1 if exclude_self else 0)
+
+    out_schema = StructType(
+        [StructField("_qid", LongType()), StructField("_nid", LongType())]
+    )
+
+    def _scan(batches):
+        ids, qmat, mn, sc, = bc.value
+        ids_arr = np.asarray(ids)
+        for pdf in batches:
+            raw = np.frombuffer(b"".join(pdf["_code"]), dtype=np.uint8)
+            X = raw.reshape(len(pdf), -1) * sc + mn  # dequantized approx
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            sims = qmat @ X.T
+            B = sims.shape[1]
+            if B > keep_n:
+                kth = np.partition(sims, B - keep_n, axis=1)[:, B - keep_n]
+                mask = sims >= kth[:, None]
+            else:
+                mask = np.ones(sims.shape, dtype=bool)
+            qi, bi = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"_qid": ids_arr[qi], "_nid": pdf["_nid"].to_numpy()[bi]}
+            )
+
+    cand = codes.mapInPandas(_scan, out_schema)
+    # exact re-rank: join the candidate sliver back to full vectors
+    c = corpus.select(
+        F.col(corpus_id).alias("_nid"), F.col(vec).cast("array<double>").alias("_nv")
+    )
+    q = queries.select(
+        F.col(query_id).alias("_qid"), F.col(vec).cast("array<double>").alias("_qv")
+    )
+    scored = cand.join(c, "_nid").join(q, "_qid").withColumn(
+        "_sim", _cosine_expr("_qv", "_nv")
+    )
+    if exclude_self:
+        scored = scored.where(F.col("_qid") != F.col("_nid"))
+    w = Window.partitionBy("_qid").orderBy(F.col("_sim").desc(), F.col("_nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("_qid").alias("query_id"), F.col("_nid").alias("neighbor_id"), "rank")
+    )
+
+
 def cosine_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -155,6 +155,34 @@ class TestSimilarity:
         recall = len(got & want) / len(want)
         assert recall >= 0.85  # nprobe=half the buckets → high recall
 
+    def test_sq_quantize_roundtrip_bound(self, spark, emb, emb_pdf):
+        from geowave_spark.operators.similarity import quantize_embeddings
+
+        codes, mins, scales = quantize_embeddings(emb)
+        got = {r["_nid"]: bytes(r["_code"]) for r in codes.collect()}
+        X = np.array([v for v in emb_pdf["embedding"]], dtype=np.float64)
+        # per-dim stats match the global min/max exactly
+        assert np.allclose(mins, X.min(axis=0))
+        assert np.allclose(scales, (X.max(axis=0) - X.min(axis=0)) / 255.0)
+        # dequantization error is bounded by half a quantization step
+        for i in [0, 7, 123]:
+            deq = np.frombuffer(got[i], dtype=np.uint8) * scales + mins
+            assert np.all(np.abs(deq - X[i]) <= scales / 2 + 1e-9)
+
+    def test_sq_topk_recall(self, spark, emb, emb_pdf):
+        from geowave_spark.operators.similarity import sq_topk
+
+        q = emb.where(F.col("vec_id") < 20)
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in sq_topk(q, emb, k=3, overfetch=4, exclude_self=True).collect()
+        }
+        want = {(a, b) for a, b, _ in self.oracle_topk(emb_pdf, range(20), 3)}
+        # re-rank is exact cosine, so errors can only come from a true
+        # neighbor missing the quantized overfetch window
+        recall = len(got & want) / len(want)
+        assert recall >= 0.9
+
     def test_cosine_neardup(self, spark, emb, emb_pdf):
         got = {(r["id_a"], r["id_b"]) for r in cosine_neardup_pairs(emb, threshold=0.98).collect()}
         X = np.array([v for v in emb_pdf["embedding"]], dtype=np.float64)
