@@ -18,6 +18,11 @@ Supported CRS strings:
 * ``EPSG:4326``  — lon/lat WGS84 (identity; the engine's index CRS)
 * ``EPSG:3857``  — WGS84 spherical web mercator
 * ``EPSG:326zz`` / ``EPSG:327zz`` — UTM zone zz north / south (WGS84)
+* via :mod:`crs_conic` (same ops-shim formulas, Catalyst + numpy):
+  Lambert Conformal Conic (EPSG:2154, EPSG:3034, …), Albers Equal-Area
+  (EPSG:5070), Lambert Azimuthal Equal-Area (EPSG:3035), ellipsoidal
+  Mercator (EPSG:3395), generic Transverse Mercator, and arbitrary
+  ``+proj=`` parameter strings
 
 The Krüger series at n⁴ is accurate to well under a millimeter inside a
 UTM zone (|λ−λ₀| ≤ 3°), which matches the reference's geotools
@@ -73,7 +78,10 @@ _UTM_RE = re.compile(r"^EPSG:32([67])(\d\d)$")
 
 
 def _parse(crs: str):
-    """→ ("lonlat",) | ("webmerc",) | ("utm", lon0_deg, fn)"""
+    """→ ("lonlat",) | ("webmerc",) | ("utm", lon0_deg, fn) |
+    ("ext", proj, area) — the last via :mod:`crs_conic` (LCC / Albers /
+    LAEA / ellipsoidal Mercator / generic TM, EPSG registry + proj
+    strings)."""
     c = crs.upper().replace(" ", "")
     if c in ("EPSG:4326", "CRS:84", "WGS84"):
         return ("lonlat",)
@@ -87,8 +95,14 @@ def _parse(crs: str):
         lon0 = -183.0 + 6.0 * zone
         fn = _FN_SOUTH if m.group(1) == "7" else 0.0
         return ("utm", lon0, fn)
+    from . import crs_conic
+
+    ext = crs_conic.resolve(crs)
+    if ext is not None:
+        return ("ext", ext[0], ext[1])
     raise ValueError(
-        f"unsupported CRS {crs!r} (EPSG:4326, EPSG:3857, EPSG:326xx/327xx)"
+        f"unsupported CRS {crs!r} (EPSG:4326, EPSG:3857, EPSG:326xx/327xx, "
+        f"a crs_conic EPSG registry code, or a +proj= string)"
     )
 
 
@@ -101,6 +115,9 @@ def crs_extent(crs: str) -> tuple[float, float, float, float]:
     if kind[0] == "webmerc":
         e = WEB_MERCATOR_EXTENT
         return (-e, -e, e, e)
+    if kind[0] == "ext":
+        # extension CRS: the registry's area-of-use bbox projected
+        return reproject_envelope(kind[2], "EPSG:4326", crs)
     # UTM: the official zone box (6° wide, 84N..80S) projected
     _, lon0, fn = kind
     xs, ys = transform_np(
@@ -124,6 +141,10 @@ def forward_cols(crs: str, lon: Column | str, lat: Column | str) -> tuple[Column
     kind = _parse(crs)
     if kind[0] == "lonlat":
         return lon, lat
+    if kind[0] == "ext":
+        from .crs_conic import CATALYST_OPS
+
+        return kind[1].forward(CATALYST_OPS, lon, lat)
     if kind[0] == "webmerc":
         # deg→rad as one multiply by the rounded π/180 literal (NOT
         # F.radians, which the JVM evaluates as x/180*π): the same single
@@ -158,6 +179,10 @@ def inverse_cols(crs: str, x: Column | str, y: Column | str) -> tuple[Column, Co
     kind = _parse(crs)
     if kind[0] == "lonlat":
         return x, y
+    if kind[0] == "ext":
+        from .crs_conic import CATALYST_OPS
+
+        return kind[1].inverse(CATALYST_OPS, x, y)
     if kind[0] == "webmerc":
         lon = F.degrees(x / F.lit(A_WGS84))
         lat = F.degrees(
@@ -205,6 +230,10 @@ def _forward_np(crs: str, lon: np.ndarray, lat: np.ndarray):
     kind = _parse(crs)
     if kind[0] == "lonlat":
         return lon.copy(), lat.copy()
+    if kind[0] == "ext":
+        from .crs_conic import NUMPY_OPS
+
+        return kind[1].forward(NUMPY_OPS, lon, lat)
     if kind[0] == "webmerc":
         d2r = math.pi / 180.0
         return (
@@ -229,6 +258,10 @@ def _inverse_np(crs: str, x: np.ndarray, y: np.ndarray):
     kind = _parse(crs)
     if kind[0] == "lonlat":
         return x.copy(), y.copy()
+    if kind[0] == "ext":
+        from .crs_conic import NUMPY_OPS
+
+        return kind[1].inverse(NUMPY_OPS, x, y)
     if kind[0] == "webmerc":
         return (
             np.degrees(x / A_WGS84),

@@ -1,0 +1,554 @@
+"""Arbitrary-CRS extension: conic / azimuthal / cylindrical projections.
+
+Reference parity: the reference accepts any geotools-decodable CRS for
+KDE grids and raster mosaics (GeoWaveRasterReader.java:492-744,
+RasterDataAdapter.java:444-550 reproject through geotools'
+``CRS.decode``/``ReferencedEnvelope.transform``).  ``crs.py`` covers the
+three CRS families the driver gates (4326 / 3857 / UTM); this module
+extends the same dispatch to the remaining projection methods that
+dominate real-world EPSG usage, implemented from the published EPSG
+Guidance Note 7-2 formulas (IOGP, public):
+
+* **Lambert Conformal Conic 2SP** (EPSG method 9802; 1SP 9801 as the
+  φ₁=φ₂ limit) — e.g. EPSG:2154 Lambert-93, EPSG:3034 ETRS89-LCC.
+* **Albers Equal-Area** (method 9822) — e.g. EPSG:5070 CONUS Albers.
+* **Lambert Azimuthal Equal-Area, oblique** (method 9820) — e.g.
+  EPSG:3035 ETRS89-LAEA.
+* **Mercator, ellipsoidal** (methods 9804/9805).
+* **Transverse Mercator, arbitrary parameters** (method 9807) via the
+  same Krüger n-series as ``crs.py`` but parameterized over ellipsoid,
+  λ₀, k₀, FE/FN, φ₀.
+
+Plus a proj-string front door (``+proj=lcc +lat_1=… +ellps=GRS80 …``)
+mirroring geotools' ability to build a CRS from parameters, and an EPSG
+registry for the common codes.
+
+Design: every formula is written ONCE against a tiny ops shim, then
+evaluated twice — with Catalyst ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen, the distributed hot path) and with numpy (the
+driver-side envelope math and the independent test oracle).  Scalar
+projection constants (n, F, ρ₀, …) are computed at parse time in plain
+Python floats, so both backends consume literally identical literals and
+the two paths agree to the last IEEE bit wherever the engines' libm
+agree.
+
+Datum handling: GRS80 vs WGS84 ellipsoids are honored exactly (their
+flattenings differ); datum *shifts* (towgs84) are identity, matching the
+reference's geotools ``lenient=true`` transforms for the
+ETRS89/RGF93/NAD83 ≈ WGS84 family (cm-level, far under pixel size).
+
+Iterative inverses are fix-count unrolled (5 rounds) so the Catalyst
+expression tree is static; each round contracts the error by ~e²/2
+≈ 0.0033, giving < 1e-12 rad from any start inside the projection's
+domain.  The equal-area inverses use the closed-form authalic series
+(Snyder 1987 eq. 3-18, public) instead of iteration.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+from types import SimpleNamespace
+
+import numpy as np
+from pyspark.sql import functions as F
+
+D2R = math.pi / 180.0
+R2D = 180.0 / math.pi
+
+# --------------------------------------------------------------------------
+# ops shims — one formula source, two evaluation backends
+# --------------------------------------------------------------------------
+
+CATALYST_OPS = SimpleNamespace(
+    sin=F.sin,
+    cos=F.cos,
+    tan=F.tan,
+    asin=F.asin,
+    atan=F.atan,
+    atan2=F.atan2,
+    sinh=F.sinh,
+    cosh=F.cosh,
+    atanh=F.atanh,
+    log=F.log,
+    sqrt=F.sqrt,
+    exp=F.exp,
+    pow=F.pow,
+    where=lambda c, a, b: F.when(c, a).otherwise(b),
+    clip=lambda x, lo, hi: F.least(F.greatest(x, F.lit(lo)), F.lit(hi)),
+)
+
+NUMPY_OPS = SimpleNamespace(
+    sin=np.sin,
+    cos=np.cos,
+    tan=np.tan,
+    asin=np.arcsin,
+    atan=np.arctan,
+    atan2=np.arctan2,
+    sinh=np.sinh,
+    cosh=np.cosh,
+    atanh=np.arctanh,
+    log=np.log,
+    sqrt=np.sqrt,
+    exp=np.exp,
+    pow=np.power,
+    where=np.where,
+    clip=np.clip,
+)
+
+# --------------------------------------------------------------------------
+# ellipsoids (published defining constants)
+# --------------------------------------------------------------------------
+
+ELLIPSOIDS = {
+    # name: (a, 1/f);  rf = 0 means sphere
+    "WGS84": (6378137.0, 298.257223563),
+    "GRS80": (6378137.0, 298.257222101),
+    "intl": (6378388.0, 297.0),  # International 1924
+    "clrk66": (6378206.4, 294.9786982),  # Clarke 1866
+    "sphere": (6370997.0, 0.0),  # proj's normal sphere radius
+}
+
+
+def _ellipsoid(params: dict) -> tuple[float, float]:
+    """→ (a, f) from proj-style params."""
+    if "a" in params:
+        a = float(params["a"])
+        if "b" in params:
+            b = float(params["b"])
+            return a, (a - b) / a
+        if "rf" in params:
+            rf = float(params["rf"])
+            return a, (1.0 / rf if rf else 0.0)
+        if "f" in params:
+            return a, float(params["f"])
+        return a, 0.0
+    if "R" in params:
+        return float(params["R"]), 0.0
+    name = params.get("ellps", params.get("datum", "WGS84"))
+    if name not in ELLIPSOIDS:
+        raise ValueError(f"unknown ellipsoid {name!r}")
+    a, rf = ELLIPSOIDS[name]
+    return a, (1.0 / rf if rf else 0.0)
+
+
+# --------------------------------------------------------------------------
+# scalar helpers (parse-time, plain floats)
+# --------------------------------------------------------------------------
+
+
+def _m_s(phi: float, e2: float) -> float:
+    return math.cos(phi) / math.sqrt(1.0 - e2 * math.sin(phi) ** 2)
+
+
+def _t_s(phi: float, e: float) -> float:
+    s = e * math.sin(phi)
+    return math.tan(math.pi / 4.0 - phi / 2.0) / ((1.0 - s) / (1.0 + s)) ** (e / 2.0)
+
+
+def _q_s(phi: float, e: float, e2: float) -> float:
+    s = math.sin(phi)
+    if e == 0.0:
+        return 2.0 * s
+    return (1.0 - e2) * (
+        s / (1.0 - e2 * s * s) - (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s))
+    )
+
+
+# --------------------------------------------------------------------------
+# projection objects
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class _Proj:
+    """Base: holds ellipsoid + false origin; subclasses add scalars."""
+
+    a: float
+    f: float
+    lon0: float  # radians
+    fe: float
+    fn: float
+    name: str = field(default="", compare=False)
+
+    def __post_init__(self):
+        self.e2 = self.f * (2.0 - self.f)
+        self.e = math.sqrt(self.e2)
+
+    # shared column/array kernels ------------------------------------------
+
+    def _t(self, o, phi):
+        """Isometric-latitude helper t(φ) — conformal projections."""
+        s = self.e * o.sin(phi)
+        if self.e == 0.0:
+            return o.tan(math.pi / 4.0 - phi / 2.0)
+        return o.tan(math.pi / 4.0 - phi / 2.0) / o.pow(
+            (1.0 - s) / (1.0 + s), self.e / 2.0
+        )
+
+    def _phi_from_t(self, o, t):
+        """Invert t(φ) by 5 unrolled fixed-point rounds (GN7-2)."""
+        half_pi = math.pi / 2.0
+        phi = half_pi - 2.0 * o.atan(t)
+        if self.e == 0.0:
+            return phi
+        for _ in range(5):
+            s = self.e * o.sin(phi)
+            phi = half_pi - 2.0 * o.atan(t * o.pow((1.0 - s) / (1.0 + s), self.e / 2.0))
+        return phi
+
+    def _q(self, o, phi):
+        """Authalic-latitude helper q(φ) — equal-area projections."""
+        s = o.sin(phi)
+        if self.e == 0.0:
+            return 2.0 * s
+        es = self.e * s
+        return (1.0 - self.e2) * (
+            s / (1.0 - self.e2 * s * s)
+            - (1.0 / (2.0 * self.e)) * o.log((1.0 - es) / (1.0 + es))
+        )
+
+    def _phi_from_beta(self, o, beta):
+        """Authalic β → geodetic φ, closed-form series (Snyder 3-18)."""
+        if self.e == 0.0:
+            return beta
+        e2, e4, e6 = self.e2, self.e2**2, self.e2**3
+        c2 = e2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0
+        c4 = 23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0
+        c6 = 761.0 * e6 / 45360.0
+        return (
+            beta
+            + c2 * o.sin(2.0 * beta)
+            + c4 * o.sin(4.0 * beta)
+            + c6 * o.sin(6.0 * beta)
+        )
+
+
+class LambertConformal(_Proj):
+    """EPSG method 9802 (2SP); 9801 (1SP, k₀) as the φ₁=φ₂ limit."""
+
+    def __init__(self, a, f, lat0, lat1, lat2, lon0, fe, fn, k0=1.0, name=""):
+        super().__init__(a, f, lon0, fe, fn, name)
+        e, e2 = self.e, self.e2
+        t0, t1 = _t_s(lat0, e), _t_s(lat1, e)
+        if abs(lat1 - lat2) < 1e-12:
+            self.n = math.sin(lat1)
+        else:
+            t2 = _t_s(lat2, e)
+            self.n = (math.log(_m_s(lat1, e2)) - math.log(_m_s(lat2, e2))) / (
+                math.log(t1) - math.log(t2)
+            )
+        self.F_ = k0 * _m_s(lat1, e2) / (self.n * t1**self.n)
+        self.r0 = self.a * self.F_ * t0**self.n
+        self._sgn = 1.0 if self.n >= 0.0 else -1.0
+
+    def forward(self, o, lon_deg, lat_deg):
+        phi = lat_deg * D2R
+        lam = lon_deg * D2R - self.lon0
+        r = self.a * self.F_ * o.pow(self._t(o, phi), self.n)
+        th = self.n * lam
+        return self.fe + r * o.sin(th), self.fn + self.r0 - r * o.cos(th)
+
+    def inverse(self, o, x, y):
+        ep = (x - self.fe) * self._sgn
+        np_ = (self.r0 - (y - self.fn)) * self._sgn
+        r = o.sqrt(ep * ep + np_ * np_)
+        t = o.pow(r / (self.a * self.F_ * self._sgn), 1.0 / self.n)
+        lam = o.atan2(ep, np_) / self.n + self.lon0
+        return lam * R2D, self._phi_from_t(o, t) * R2D
+
+
+class AlbersEqualArea(_Proj):
+    """EPSG method 9822."""
+
+    def __init__(self, a, f, lat0, lat1, lat2, lon0, fe, fn, name=""):
+        super().__init__(a, f, lon0, fe, fn, name)
+        e, e2 = self.e, self.e2
+        m1, m2 = _m_s(lat1, e2), _m_s(lat2, e2)
+        q0, q1 = _q_s(lat0, e, e2), _q_s(lat1, e, e2)
+        if abs(lat1 - lat2) < 1e-12:
+            self.n = math.sin(lat1)
+        else:
+            q2 = _q_s(lat2, e, e2)
+            self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        self.C = m1 * m1 + self.n * q1
+        self.rho0 = self.a * math.sqrt(self.C - self.n * q0) / self.n
+        self._sgn = 1.0 if self.n >= 0.0 else -1.0
+
+    def forward(self, o, lon_deg, lat_deg):
+        phi = lat_deg * D2R
+        lam = lon_deg * D2R - self.lon0
+        rho = self.a * o.sqrt(self.C - self.n * self._q(o, phi)) / self.n
+        th = self.n * lam
+        return self.fe + rho * o.sin(th), self.fn + self.rho0 - rho * o.cos(th)
+
+    def inverse(self, o, x, y):
+        ep = (x - self.fe) * self._sgn
+        np_ = (self.rho0 - (y - self.fn)) * self._sgn
+        rho = o.sqrt(ep * ep + np_ * np_)
+        q = (self.C - (rho * self.n / self.a) ** 2) / self.n
+        qp = _q_s(math.pi / 2.0, self.e, self.e2)
+        beta = o.asin(o.clip(q / qp, -1.0, 1.0))
+        lam = o.atan2(ep, np_) / self.n + self.lon0
+        return lam * R2D, self._phi_from_beta(o, beta) * R2D
+
+
+class LambertAzimuthalEqualArea(_Proj):
+    """EPSG method 9820, oblique aspect (|φ₀| < 90°)."""
+
+    def __init__(self, a, f, lat0, lon0, fe, fn, name=""):
+        super().__init__(a, f, lon0, fe, fn, name)
+        e, e2 = self.e, self.e2
+        if abs(abs(lat0) - math.pi / 2.0) < 1e-12:
+            raise ValueError("polar-aspect LAEA not supported (oblique only)")
+        self.qp = _q_s(math.pi / 2.0, e, e2)
+        q0 = _q_s(lat0, e, e2)
+        self.beta0 = math.asin(min(1.0, max(-1.0, q0 / self.qp)))
+        self.Rq = self.a * math.sqrt(self.qp / 2.0)
+        self.D = self.a * _m_s(lat0, e2) / (self.Rq * math.cos(self.beta0))
+        self.lat0 = lat0
+
+    def forward(self, o, lon_deg, lat_deg):
+        phi = lat_deg * D2R
+        lam = lon_deg * D2R - self.lon0
+        beta = o.asin(o.clip(self._q(o, phi) / self.qp, -1.0, 1.0))
+        sb0, cb0 = math.sin(self.beta0), math.cos(self.beta0)
+        sb, cb = o.sin(beta), o.cos(beta)
+        cl = o.cos(lam)
+        b = self.Rq * o.sqrt(2.0 / (1.0 + sb0 * sb + cb0 * cb * cl))
+        x = self.fe + b * self.D * cb * o.sin(lam)
+        y = self.fn + (b / self.D) * (cb0 * sb - sb0 * cb * cl)
+        return x, y
+
+    def inverse(self, o, x, y):
+        ep = x - self.fe
+        np_ = y - self.fn
+        rho = o.sqrt((ep / self.D) ** 2 + (self.D * np_) ** 2)
+        # ρ=0 → the natural origin; guard the divisions, then patch via where
+        at_origin = rho == 0.0
+        rho_s = o.where(at_origin, 1.0, rho)
+        c = 2.0 * o.asin(o.clip(rho / (2.0 * self.Rq), -1.0, 1.0))
+        sc, cc = o.sin(c), o.cos(c)
+        sb0, cb0 = math.sin(self.beta0), math.cos(self.beta0)
+        beta = o.asin(o.clip(cc * sb0 + self.D * np_ * sc * cb0 / rho_s, -1.0, 1.0))
+        lam = o.atan2(
+            ep * sc, self.D * rho_s * cb0 * cc - self.D * self.D * np_ * sb0 * sc
+        )
+        lon = o.where(at_origin, self.lon0, lam + self.lon0) * R2D
+        lat = o.where(at_origin, self.lat0, self._phi_from_beta(o, beta)) * R2D
+        return lon, lat
+
+
+class MercatorEllipsoidal(_Proj):
+    """EPSG methods 9804 (1SP, k₀) / 9805 (2SP via k₀ = m(φ₁))."""
+
+    def __init__(self, a, f, lon0, fe, fn, k0=1.0, lat_ts=None, name=""):
+        super().__init__(a, f, lon0, fe, fn, name)
+        if lat_ts is not None:
+            k0 = _m_s(lat_ts, self.e2)
+        self.k0 = k0
+
+    def forward(self, o, lon_deg, lat_deg):
+        phi = lat_deg * D2R
+        lam = lon_deg * D2R - self.lon0
+        x = self.fe + self.a * self.k0 * lam
+        y = self.fn - self.a * self.k0 * o.log(self._t(o, phi))
+        return x, y
+
+    def inverse(self, o, x, y):
+        t = o.exp(-(y - self.fn) / (self.a * self.k0))
+        lam = (x - self.fe) / (self.a * self.k0) + self.lon0
+        return lam * R2D, self._phi_from_t(o, t) * R2D
+
+
+class TransverseMercatorGeneric(_Proj):
+    """EPSG method 9807 — Krüger n-series to n⁴ (Karney 2011 / IOGP
+    GN7-2), parameterized over ellipsoid, λ₀, φ₀, k₀, FE/FN.  The same
+    series as ``crs.py``'s fixed-WGS84 UTM path, recomputed for the
+    requested ellipsoid at parse time."""
+
+    def __init__(self, a, f, lat0, lon0, fe, fn, k0=1.0, name=""):
+        super().__init__(a, f, lon0, fe, fn, name)
+        n = f / (2.0 - f)
+        self.n3 = n
+        self.A1 = a / (1.0 + n) * (1.0 + n**2 / 4.0 + n**4 / 64.0)
+        self.alpha = (
+            n / 2.0 - 2.0 * n**2 / 3.0 + 5.0 * n**3 / 16.0 + 41.0 * n**4 / 180.0,
+            13.0 * n**2 / 48.0 - 3.0 * n**3 / 5.0 + 557.0 * n**4 / 1440.0,
+            61.0 * n**3 / 240.0 - 103.0 * n**4 / 140.0,
+            49561.0 * n**4 / 161280.0,
+        )
+        self.beta = (
+            n / 2.0 - 2.0 * n**2 / 3.0 + 37.0 * n**3 / 96.0 - n**4 / 360.0,
+            n**2 / 48.0 + n**3 / 15.0 - 437.0 * n**4 / 1440.0,
+            17.0 * n**3 / 480.0 - 37.0 * n**4 / 840.0,
+            4397.0 * n**4 / 161280.0,
+        )
+        self.delta = (
+            2.0 * n - 2.0 * n**2 / 3.0 - 2.0 * n**3 + 116.0 * n**4 / 45.0,
+            7.0 * n**2 / 3.0 - 8.0 * n**3 / 5.0 - 227.0 * n**4 / 45.0,
+            56.0 * n**3 / 15.0 + 136.0 * n**4 / 35.0,
+            4279.0 * n**4 / 630.0,
+        )
+        self.e2n = 2.0 * math.sqrt(n) / (1.0 + n) if n > 0.0 else 0.0
+        self.k0 = k0
+        # meridian-arc offset for a non-equatorial natural origin: the
+        # rectifying latitude of φ₀ scaled by A1 (ξ at λ=0 is exactly μ(φ₀))
+        if lat0 != 0.0:
+            s0 = math.sin(lat0)
+            t0 = math.sinh(
+                math.atanh(s0) - self.e2n * math.atanh(self.e2n * s0)
+            )
+            xi0 = math.atan2(t0, 1.0)
+            mu0 = xi0
+            for j, al in enumerate(self.alpha, start=1):
+                mu0 += al * math.sin(2.0 * j * xi0)
+            self.M0 = k0 * self.A1 * mu0
+        else:
+            self.M0 = 0.0
+
+    def forward(self, o, lon_deg, lat_deg):
+        phi = lat_deg * D2R
+        lam = lon_deg * D2R - self.lon0
+        sphi = o.sin(phi)
+        if self.e2n:
+            t = o.sinh(o.atanh(sphi) - self.e2n * o.atanh(self.e2n * sphi))
+        else:
+            t = o.sinh(o.atanh(sphi))
+        xi = o.atan2(t, o.cos(lam))
+        eta = o.atanh(o.sin(lam) / o.sqrt(1.0 + t * t))
+        xs, es = xi, eta
+        for j, al in enumerate(self.alpha, start=1):
+            xs = xs + al * o.sin(2.0 * j * xi) * o.cosh(2.0 * j * eta)
+            es = es + al * o.cos(2.0 * j * xi) * o.sinh(2.0 * j * eta)
+        x = self.fe + self.k0 * self.A1 * es
+        y = self.fn + self.k0 * self.A1 * xs - self.M0
+        return x, y
+
+    def inverse(self, o, x, y):
+        xi = (y - self.fn + self.M0) / (self.k0 * self.A1)
+        eta = (x - self.fe) / (self.k0 * self.A1)
+        xp, ep = xi, eta
+        for j, b in enumerate(self.beta, start=1):
+            xp = xp - b * o.sin(2.0 * j * xi) * o.cosh(2.0 * j * eta)
+            ep = ep - b * o.cos(2.0 * j * xi) * o.sinh(2.0 * j * eta)
+        chi = o.asin(o.clip(o.sin(xp) / o.cosh(ep), -1.0, 1.0))
+        phi = chi
+        for j, d in enumerate(self.delta, start=1):
+            phi = phi + d * o.sin(2.0 * j * chi)
+        lam = o.atan2(o.sinh(ep), o.cos(xp))
+        return (self.lon0 + lam) * R2D, phi * R2D
+
+
+# --------------------------------------------------------------------------
+# proj-string parsing + EPSG registry
+# --------------------------------------------------------------------------
+
+_PROJ_KV = re.compile(r"\+([A-Za-z_0-9]+)(?:=([^\s]+))?")
+
+
+def parse_proj_string(text: str, name: str = "") -> _Proj:
+    """Build a projection from a proj-style parameter string.
+
+    Supported: ``+proj=lcc|aea|laea|merc|tmerc|longlat`` with
+    ``lat_0/lat_1/lat_2/lon_0/k_0(k)/x_0/y_0/lat_ts`` and ellipsoid
+    params (``ellps/a/b/rf/f/R``).  Raises on non-meter units and on
+    non-zero ``towgs84`` shifts (datum shift ≠ identity is out of scope,
+    like the engine's other transforms)."""
+    params: dict[str, str] = {}
+    for m in _PROJ_KV.finditer(text):
+        params[m.group(1)] = m.group(2) if m.group(2) is not None else ""
+    proj = params.get("proj")
+    if not proj:
+        raise ValueError(f"proj string without +proj=: {text!r}")
+    units = params.get("units", "m")
+    if proj != "longlat" and units != "m":
+        raise ValueError(f"unsupported units {units!r} (meters only)")
+    tw = params.get("towgs84")
+    if tw and any(abs(float(v)) > 1e-9 for v in tw.split(",")):
+        raise ValueError("non-zero towgs84 datum shift unsupported")
+    a, f = _ellipsoid(params)
+
+    def ang(key, default=0.0):
+        return float(params.get(key, default)) * D2R
+
+    lat0, lon0 = ang("lat_0"), ang("lon_0")
+    fe, fn = float(params.get("x_0", 0.0)), float(params.get("y_0", 0.0))
+    k0 = float(params.get("k_0", params.get("k", 1.0)))
+    name = name or text.strip()
+
+    if proj == "lcc":
+        lat1 = ang("lat_1", params.get("lat_0", 0.0))
+        lat2 = ang("lat_2", params.get("lat_1", params.get("lat_0", 0.0)))
+        return LambertConformal(a, f, lat0, lat1, lat2, lon0, fe, fn, k0, name)
+    if proj == "aea":
+        lat1 = ang("lat_1")
+        lat2 = ang("lat_2", params.get("lat_1", 0.0))
+        return AlbersEqualArea(a, f, lat0, lat1, lat2, lon0, fe, fn, name)
+    if proj == "laea":
+        return LambertAzimuthalEqualArea(a, f, lat0, lon0, fe, fn, name)
+    if proj == "merc":
+        lat_ts = ang("lat_ts") if "lat_ts" in params else None
+        return MercatorEllipsoidal(a, f, lon0, fe, fn, k0, lat_ts, name)
+    if proj == "tmerc":
+        return TransverseMercatorGeneric(a, f, lat0, lon0, fe, fn, k0, name)
+    raise ValueError(f"unsupported +proj={proj!r}")
+
+
+# EPSG registry: code → (proj string, area-of-use lon/lat bbox).
+# Definitions and areas of use are from the public EPSG registry pages.
+EPSG_REGISTRY: dict[str, tuple[str, tuple[float, float, float, float]]] = {
+    # RGF93 / Lambert-93 (France)
+    "EPSG:2154": (
+        "+proj=lcc +lat_0=46.5 +lat_1=49 +lat_2=44 +lon_0=3"
+        " +x_0=700000 +y_0=6600000 +ellps=GRS80 +units=m",
+        (-9.86, 41.15, 10.38, 51.56),
+    ),
+    # ETRS89-extended / LCC Europe
+    "EPSG:3034": (
+        "+proj=lcc +lat_0=52 +lat_1=35 +lat_2=65 +lon_0=10"
+        " +x_0=4000000 +y_0=2800000 +ellps=GRS80 +units=m",
+        (-35.58, 24.6, 44.83, 84.73),
+    ),
+    # ETRS89-extended / LAEA Europe
+    "EPSG:3035": (
+        "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000"
+        " +ellps=GRS80 +units=m",
+        (-35.58, 24.6, 44.83, 84.73),
+    ),
+    # NAD83 / Conus Albers
+    "EPSG:5070": (
+        "+proj=aea +lat_0=23 +lat_1=29.5 +lat_2=45.5 +lon_0=-96"
+        " +x_0=0 +y_0=0 +ellps=GRS80 +units=m",
+        (-124.79, 24.41, -66.91, 49.38),
+    ),
+    # World Mercator (ellipsoidal)
+    "EPSG:3395": (
+        "+proj=merc +lon_0=0 +k_0=1 +x_0=0 +y_0=0 +ellps=WGS84 +units=m",
+        (-180.0, -80.0, 180.0, 84.0),
+    ),
+}
+
+
+def resolve(crs: str) -> tuple[_Proj, tuple[float, float, float, float]] | None:
+    """→ (projection, area-of-use lon/lat bbox), or None if this module
+    doesn't recognize the string (caller raises its own error)."""
+    c = crs.strip()
+    key = c.upper().replace(" ", "")
+    if key in EPSG_REGISTRY:
+        text, area = EPSG_REGISTRY[key]
+        return parse_proj_string(text, name=key), area
+    if c.startswith("+"):
+        proj = parse_proj_string(c)
+        # default working area: a generous window around the natural origin
+        lon0d = proj.lon0 * R2D
+        lat0d = getattr(proj, "lat0", 0.0)
+        lat0d = lat0d * R2D if isinstance(lat0d, float) and abs(lat0d) <= math.pi else 0.0
+        return proj, (
+            max(-180.0, lon0d - 90.0),
+            max(-85.0, lat0d - 45.0),
+            min(180.0, lon0d + 90.0),
+            min(85.0, lat0d + 45.0),
+        )
+    return None

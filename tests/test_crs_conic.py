@@ -1,0 +1,248 @@
+"""crs_conic: arbitrary-CRS extension (LCC / Albers / LAEA / Mercator /
+generic TM) — oracle strategy:
+
+* **Exact origin invariants** — projecting the natural origin must give
+  exactly (FE, FN), and points on the central meridian must keep E = FE;
+  both are true by the definition of the projection, independent of any
+  implementation.
+* **Defining-property oracles** — conformal projections must have local
+  scale exactly k₀ on their standard parallels; equal-area projections
+  must preserve the ellipsoidal area element (Jacobian test).  These are
+  closed-form truths from the projection's published definition, not a
+  re-run of the code under test.
+* **Cross-implementation checks** — the generic Krüger TM must agree
+  with crs.py's independent fixed-WGS84 UTM path; Catalyst and numpy
+  backends must agree bit-for-bit-ish on random points.
+
+Reference parity: geotools CRS.decode + ReferencedEnvelope.transform
+(RasterDataAdapter.java:444-550); formulas from EPSG GN7-2 (public).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from geowave_spark import crs
+from geowave_spark import crs_conic
+
+
+REG_ORIGINS = {
+    # code: (lon0, lat0, FE, FN)
+    "EPSG:2154": (3.0, 46.5, 700000.0, 6600000.0),
+    "EPSG:3034": (10.0, 52.0, 4000000.0, 2800000.0),
+    "EPSG:3035": (10.0, 52.0, 4321000.0, 3210000.0),
+    "EPSG:5070": (-96.0, 23.0, 0.0, 0.0),
+    "EPSG:3395": (0.0, 0.0, 0.0, 0.0),
+}
+
+
+# ellipsoidal helpers for the property oracles (independent scalar math)
+def _nu(a, e2, phi):  # prime-vertical radius
+    return a / math.sqrt(1.0 - e2 * math.sin(phi) ** 2)
+
+
+def _rho_m(a, e2, phi):  # meridional radius
+    return a * (1.0 - e2) / (1.0 - e2 * math.sin(phi) ** 2) ** 1.5
+
+
+@pytest.mark.parametrize("code", sorted(REG_ORIGINS))
+def test_origin_exact(code):
+    lon0, lat0, fe, fn = REG_ORIGINS[code]
+    x, y = crs.transform_np(np.array([lon0]), np.array([lat0]), "EPSG:4326", code)
+    assert abs(float(x[0]) - fe) < 1e-6
+    assert abs(float(y[0]) - fn) < 1e-6
+
+
+@pytest.mark.parametrize("code", sorted(REG_ORIGINS))
+def test_central_meridian_stays_on_fe(code):
+    lon0, lat0, fe, _ = REG_ORIGINS[code]
+    lats = np.array([lat0 - 8.0, lat0 - 2.0, lat0 + 2.0, lat0 + 8.0])
+    x, _ = crs.transform_np(np.full(4, lon0), lats, "EPSG:4326", code)
+    assert np.abs(x - fe).max() < 1e-6
+
+
+@pytest.mark.parametrize("code", sorted(REG_ORIGINS))
+def test_roundtrip_area_of_use(code):
+    kind = crs._parse(code)
+    assert kind[0] == "ext"
+    a = kind[2]
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(a[0], a[2], 800)
+    lat = rng.uniform(a[1], a[3], 800)
+    x, y = crs.transform_np(lon, lat, "EPSG:4326", code)
+    lo2, la2 = crs.transform_np(x, y, code, "EPSG:4326")
+    # conformal paths round-trip to 1e-12; the authalic series bounds the
+    # equal-area inverses at ~1.4e-8 deg (≈1.5 mm) — assert 1e-7 (≈1 cm)
+    assert np.abs(lo2 - lon).max() < 1e-7
+    assert np.abs(la2 - lat).max() < 1e-7
+
+
+def test_lcc_scale_is_unity_on_standard_parallels():
+    """Conformal defining property: local scale along a standard parallel
+    equals 1 (2SP).  True parallel arc = a·m(φ)·Δλ with
+    m = cosφ/√(1−e²sin²φ) — closed-form ellipsoid geometry."""
+    a, rf = crs_conic.ELLIPSOIDS["GRS80"]
+    e2 = (1.0 / rf) * (2.0 - 1.0 / rf)
+    dlam = 1e-7  # radians
+    for code, (lat1, lat2) in {
+        "EPSG:2154": (49.0, 44.0),
+        "EPSG:3034": (35.0, 65.0),
+    }.items():
+        for lat_sp in (lat1, lat2):
+            phi = math.radians(lat_sp)
+            lons = np.array([5.0, 5.0 + math.degrees(dlam)])
+            x, y = crs.transform_np(lons, np.full(2, lat_sp), "EPSG:4326", code)
+            proj_d = math.hypot(float(x[1] - x[0]), float(y[1] - y[0]))
+            true_d = _nu(a, e2, phi) * math.cos(phi) * dlam
+            assert abs(proj_d / true_d - 1.0) < 1e-9, (code, lat_sp)
+
+
+def test_mercator_scale_k0_at_equator():
+    # x is linear in λ for Mercator, so a wide Δλ avoids cancellation
+    a, rf = crs_conic.ELLIPSOIDS["WGS84"]
+    dlam = 0.01
+    lons = np.array([10.0, 10.0 + math.degrees(dlam)])
+    x, _ = crs.transform_np(lons, np.zeros(2), "EPSG:4326", "EPSG:3395")
+    assert abs(float(x[1] - x[0]) / (a * dlam) - 1.0) < 1e-9
+
+
+@pytest.mark.parametrize(
+    "code, pts",
+    [
+        ("EPSG:5070", [(-120.0, 35.0), (-96.0, 23.0), (-75.0, 44.0)]),
+        ("EPSG:3035", [(-8.0, 38.0), (10.0, 52.0), (30.0, 66.0)]),
+    ],
+)
+def test_equal_area_jacobian(code, pts):
+    """Equal-area defining property: the area of an infinitesimal
+    projected quad equals the true ellipsoidal area element
+    M(φ)·ν(φ)·cosφ·dφ·dλ."""
+    a, rf = crs_conic.ELLIPSOIDS["GRS80"]
+    e2 = (1.0 / rf) * (2.0 - 1.0 / rf)
+    d = 1e-4  # degrees (≈11 m quad: curvature error O(d²) ≈ 3e-12 rel)
+    for lon, lat in pts:
+        lons = np.array([lon, lon + d, lon + d, lon])
+        lats = np.array([lat, lat, lat + d, lat + d])
+        x, y = crs.transform_np(lons, lats, "EPSG:4326", code)
+        # recenter before the shoelace: translation-invariant, and it
+        # removes the ~4e6 m offsets that would otherwise cancel away
+        # all the significand (the quad itself is only ~10 m across)
+        x = x - x.mean()
+        y = y - y.mean()
+        area = 0.5 * abs(
+            float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+        )
+        phi = math.radians(lat + d / 2.0)
+        dr = math.radians(d)
+        true = _rho_m(a, e2, phi) * _nu(a, e2, phi) * math.cos(phi) * dr * dr
+        assert abs(area / true - 1.0) < 1e-5, (code, lon, lat)
+
+
+def test_generic_tmerc_matches_trusted_utm_path():
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(12.0, 18.0, 400)
+    lat = rng.uniform(-75.0, 80.0, 400)
+    x1, y1 = crs.transform_np(lon, lat, "EPSG:4326", "EPSG:32633")
+    x2, y2 = crs.transform_np(
+        lon,
+        lat,
+        "EPSG:4326",
+        "+proj=tmerc +lat_0=0 +lon_0=15 +k_0=0.9996 +x_0=500000 +y_0=0"
+        " +ellps=WGS84 +units=m",
+    )
+    assert np.abs(x1 - x2).max() < 1e-6
+    assert np.abs(y1 - y2).max() < 1e-6
+
+
+def test_tmerc_nonzero_lat0_origin():
+    p = "+proj=tmerc +lat_0=49 +lon_0=-2 +k_0=0.9996012717 +x_0=400000 +y_0=-100000 +ellps=WGS84"
+    x, y = crs.transform_np(np.array([-2.0]), np.array([49.0]), "EPSG:4326", p)
+    assert abs(float(x[0]) - 400000.0) < 1e-6
+    assert abs(float(y[0]) + 100000.0) < 1e-6
+
+
+def test_laea_origin_inverse_exact():
+    # the ρ=0 guard: inverting exactly (FE, FN) must return the origin
+    lon, lat = crs.transform_np(
+        np.array([4321000.0]), np.array([3210000.0]), "EPSG:3035", "EPSG:4326"
+    )
+    assert abs(float(lon[0]) - 10.0) < 1e-9
+    assert abs(float(lat[0]) - 52.0) < 1e-7
+
+
+def test_proj_string_rejections():
+    with pytest.raises(ValueError):
+        crs_conic.parse_proj_string("+proj=lcc +lat_1=30 +units=us-ft")
+    with pytest.raises(ValueError):
+        crs_conic.parse_proj_string("+proj=stere +lat_0=90")
+    with pytest.raises(ValueError):
+        crs_conic.parse_proj_string(
+            "+proj=lcc +lat_1=30 +towgs84=120,50,0 +units=m"
+        )
+    with pytest.raises(ValueError):
+        crs._parse("EPSG:9999")
+
+
+def test_sphere_ellipsoid_laea():
+    # e = 0 limit: spherical LAEA round-trips and preserves area too
+    p = "+proj=laea +lat_0=40 +lon_0=-100 +R=6370997 +units=m"
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-130.0, -70.0, 300)
+    lat = rng.uniform(20.0, 60.0, 300)
+    x, y = crs.transform_np(lon, lat, "EPSG:4326", p)
+    lo2, la2 = crs.transform_np(x, y, p, "EPSG:4326")
+    assert np.abs(lo2 - lon).max() < 1e-9
+    assert np.abs(la2 - lat).max() < 1e-9
+
+
+def test_crs_extent_and_envelope_ext():
+    ext = crs.crs_extent("EPSG:3035")
+    assert ext[0] < 4321000.0 < ext[2]
+    assert ext[1] < 3210000.0 < ext[3]
+    env = crs.reproject_envelope((0.0, 40.0, 20.0, 60.0), "EPSG:4326", "EPSG:2154")
+    # must contain the corners' images (densified ≥ corner hull)
+    cx, cy = crs.transform_np(
+        np.array([0.0, 20.0, 0.0, 20.0]), np.array([40.0, 40.0, 60.0, 60.0]),
+        "EPSG:4326", "EPSG:2154",
+    )
+    assert env[0] <= cx.min() and env[2] >= cx.max()
+    assert env[1] <= cy.min() and env[3] >= cy.max()
+
+
+def test_catalyst_numpy_parity(spark):
+    """The Catalyst expression path and the numpy twin evaluate the same
+    formula source — results must agree to float64 round-off on random
+    points, for every projection family."""
+    rng = np.random.default_rng(17)
+    n = 256
+    cases = {
+        "EPSG:2154": (-4.0, 42.0, 8.0, 51.0),
+        "EPSG:5070": (-124.0, 25.0, -67.0, 49.0),
+        "EPSG:3035": (-10.0, 35.0, 30.0, 70.0),
+        "EPSG:3395": (-170.0, -75.0, 170.0, 80.0),
+    }
+    for code, (lo, la, hi, ha) in cases.items():
+        lon = rng.uniform(lo, hi, n)
+        lat = rng.uniform(la, ha, n)
+        import pandas as pd
+
+        df = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+        out = (
+            crs.transform_df(df, "EPSG:4326", code)
+            .select("x", "y")
+            .toPandas()
+            .to_numpy()
+        )
+        nx, ny = crs.transform_np(lon, lat, "EPSG:4326", code)
+        assert np.abs(out[:, 0] - nx).max() < 1e-6
+        assert np.abs(out[:, 1] - ny).max() < 1e-6
+        # and the inverse direction
+        df2 = spark.createDataFrame(pd.DataFrame({"x": nx, "y": ny}))
+        from geowave_spark.crs import inverse_cols
+
+        ic = inverse_cols(code, "x", "y")
+        out2 = df2.select(ic[0].alias("lon"), ic[1].alias("lat")).toPandas().to_numpy()
+        ilo, ila = crs.transform_np(nx, ny, code, "EPSG:4326")
+        assert np.abs(out2[:, 0] - ilo).max() < 1e-9
+        assert np.abs(out2[:, 1] - ila).max() < 1e-9
