@@ -116,8 +116,11 @@ def crs_extent(crs: str) -> tuple[float, float, float, float]:
         e = WEB_MERCATOR_EXTENT
         return (-e, -e, e, e)
     if kind[0] == "ext":
-        # extension CRS: the registry's area-of-use bbox projected
-        return reproject_envelope(kind[2], "EPSG:4326", crs)
+        # extension CRS: the registry's area-of-use bbox projected.
+        # densify=181 (2° steps): polar caps trace a full circle along
+        # one lon/lat edge, and coarse sampling would undercut its bbox
+        # radius by up to cos(half-step)
+        return reproject_envelope(kind[2], "EPSG:4326", crs, densify=181)
     # UTM: the official zone box (6° wide, 84N..80S) projected
     _, lon0, fn = kind
     xs, ys = transform_np(

@@ -362,6 +362,51 @@ class MercatorEllipsoidal(_Proj):
         return lam * R2D, self._phi_from_t(o, t) * R2D
 
 
+class PolarStereographic(_Proj):
+    """EPSG methods 9810 (variant A: k₀ at the pole) and 9829/9830
+    (variant B/C: standard parallel φ_ts) — the polar complement to the
+    oblique LAEA (EPSG:3413/3031 sea-ice grids, EPSG:5041/5042 UPS).
+
+    Both aspects share one formula source through the hemisphere sign
+    ``s`` (+1 north, −1 south): conformal t is evaluated at s·φ, and the
+    northing flips sign (y grows toward the pole's far side).
+    """
+
+    def __init__(self, a, f, lon0, fe, fn, south, k0=None, lat_ts=None, name=""):
+        super().__init__(a, f, lon0, fe, fn, name)
+        self.s = -1.0 if south else 1.0
+        self.lat0 = self.s * math.pi / 2.0
+        e = self.e
+        if lat_ts is not None:
+            # variant B/C: ρ = a·m(φ_ts)·t / t(φ_ts)
+            ats = abs(lat_ts)
+            self.rho_k = self.a * _m_s(ats, self.e2) / _t_s(ats, e)
+        else:
+            # variant A: ρ = 2·a·k₀·t / √((1+e)^(1+e)·(1−e)^(1−e))
+            k0 = 1.0 if k0 is None else k0
+            self.rho_k = (
+                2.0 * self.a * k0 / math.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+            )
+
+    def forward(self, o, lon_deg, lat_deg):
+        phi = lat_deg * (self.s * D2R)  # s·φ in one multiply
+        lam = self.s * (lon_deg * D2R - self.lon0)
+        rho = self.rho_k * self._t(o, phi)
+        x = self.fe + self.s * (rho * o.sin(lam))
+        y = self.fn - self.s * (rho * o.cos(lam))
+        return x, y
+
+    def inverse(self, o, x, y):
+        ep = (x - self.fe) * self.s
+        np_ = (y - self.fn) * self.s
+        rho = o.sqrt(ep * ep + np_ * np_)
+        t = rho / self.rho_k
+        phi = self.s * self._phi_from_t(o, t)
+        # at the pole itself (ρ=0) atan2(0,0)=0 → λ = λ0, a fine convention
+        lam = self.lon0 + self.s * o.atan2(ep, 0.0 - np_)
+        return lam * R2D, phi * R2D
+
+
 class TransverseMercatorGeneric(_Proj):
     """EPSG method 9807 — Krüger n-series to n⁴ (Karney 2011 / IOGP
     GN7-2), parameterized over ellipsoid, λ₀, φ₀, k₀, FE/FN.  The same
@@ -493,6 +538,15 @@ def parse_proj_string(text: str, name: str = "") -> _Proj:
         return MercatorEllipsoidal(a, f, lon0, fe, fn, k0, lat_ts, name)
     if proj == "tmerc":
         return TransverseMercatorGeneric(a, f, lat0, lon0, fe, fn, k0, name)
+    if proj == "stere":
+        if abs(abs(lat0) - math.pi / 2.0) > 1e-12:
+            raise ValueError(
+                "only polar-aspect stereographic supported (lat_0=±90)"
+            )
+        lat_ts = ang("lat_ts") if "lat_ts" in params else None
+        return PolarStereographic(
+            a, f, lon0, fe, fn, south=lat0 < 0, k0=k0, lat_ts=lat_ts, name=name
+        )
     raise ValueError(f"unsupported +proj={proj!r}")
 
 
@@ -527,6 +581,29 @@ EPSG_REGISTRY: dict[str, tuple[str, tuple[float, float, float, float]]] = {
     "EPSG:3395": (
         "+proj=merc +lon_0=0 +k_0=1 +x_0=0 +y_0=0 +ellps=WGS84 +units=m",
         (-180.0, -80.0, 180.0, 84.0),
+    ),
+    # NSIDC Sea Ice Polar Stereographic North (variant B, φ_ts=70N)
+    "EPSG:3413": (
+        "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=0 +y_0=0"
+        " +ellps=WGS84 +units=m",
+        (-180.0, 60.0, 180.0, 90.0),
+    ),
+    # Antarctic Polar Stereographic (variant B, φ_ts=71S)
+    "EPSG:3031": (
+        "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +x_0=0 +y_0=0"
+        " +ellps=WGS84 +units=m",
+        (-180.0, -90.0, 180.0, -60.0),
+    ),
+    # Universal Polar Stereographic north / south (variant A, k₀=0.994)
+    "EPSG:5041": (
+        "+proj=stere +lat_0=90 +lon_0=0 +k_0=0.994 +x_0=2000000"
+        " +y_0=2000000 +ellps=WGS84 +units=m",
+        (-180.0, 60.0, 180.0, 90.0),
+    ),
+    "EPSG:5042": (
+        "+proj=stere +lat_0=-90 +lon_0=0 +k_0=0.994 +x_0=2000000"
+        " +y_0=2000000 +ellps=WGS84 +units=m",
+        (-180.0, -90.0, 180.0, -60.0),
     ),
 }
 

@@ -175,7 +175,8 @@ def test_proj_string_rejections():
     with pytest.raises(ValueError):
         crs_conic.parse_proj_string("+proj=lcc +lat_1=30 +units=us-ft")
     with pytest.raises(ValueError):
-        crs_conic.parse_proj_string("+proj=stere +lat_0=90")
+        # oblique stereographic is unsupported (polar aspect only)
+        crs_conic.parse_proj_string("+proj=stere +lat_0=45")
     with pytest.raises(ValueError):
         crs_conic.parse_proj_string(
             "+proj=lcc +lat_1=30 +towgs84=120,50,0 +units=m"
@@ -210,6 +211,98 @@ def test_crs_extent_and_envelope_ext():
     assert env[1] <= cy.min() and env[3] >= cy.max()
 
 
+POLAR = {
+    # code: (lon0, south, FE, FN)
+    "EPSG:3413": (-45.0, False, 0.0, 0.0),
+    "EPSG:3031": (0.0, True, 0.0, 0.0),
+    "EPSG:5041": (0.0, False, 2000000.0, 2000000.0),
+    "EPSG:5042": (0.0, True, 2000000.0, 2000000.0),
+}
+
+
+@pytest.mark.parametrize("code", sorted(POLAR))
+def test_polar_pole_and_meridian_invariants(code):
+    lon0, south, fe, fn = POLAR[code]
+    pole = -90.0 if south else 90.0
+    x, y = crs.transform_np(np.array([lon0]), np.array([pole]), "EPSG:4326", code)
+    assert abs(float(x[0]) - fe) < 1e-6 and abs(float(y[0]) - fn) < 1e-6
+    # the central meridian stays on E = FE
+    lats = np.array([70.0, 80.0, 88.0]) * (-1.0 if south else 1.0)
+    x, _ = crs.transform_np(np.full(3, lon0), lats, "EPSG:4326", code)
+    assert np.abs(x - fe).max() < 1e-6
+
+
+@pytest.mark.parametrize("code", sorted(POLAR))
+def test_polar_roundtrip(code):
+    lon0, south, _, _ = POLAR[code]
+    rng = np.random.default_rng(23)
+    lon = rng.uniform(-180.0, 180.0, 600)
+    lat = rng.uniform(60.0, 89.9, 600) * (-1.0 if south else 1.0)
+    x, y = crs.transform_np(lon, lat, "EPSG:4326", code)
+    lo2, la2 = crs.transform_np(x, y, code, "EPSG:4326")
+    dlon = np.abs((lo2 - lon + 180.0) % 360.0 - 180.0)  # wrap-safe
+    assert dlon.max() < 1e-9
+    assert np.abs(la2 - lat).max() < 1e-9
+
+
+def test_polar_stereo_scale_at_standard_parallel():
+    """Variant-B defining property: scale = 1 on φ_ts — checked along
+    BOTH the parallel and the meridian directions (conformality makes
+    them equal; the parallel one is by construction, the meridian one
+    genuinely exercises dt/dφ)."""
+    a, rf = crs_conic.ELLIPSOIDS["WGS84"]
+    e2 = (1.0 / rf) * (2.0 - 1.0 / rf)
+    for code, lat_ts in (("EPSG:3413", 70.0), ("EPSG:3031", -71.0)):
+        phi = math.radians(lat_ts)
+        # parallel direction
+        dlam = 1e-4
+        lons = np.array([30.0, 30.0 + math.degrees(dlam)])
+        x, y = crs.transform_np(lons, np.full(2, lat_ts), "EPSG:4326", code)
+        d = math.hypot(float(x[1] - x[0]), float(y[1] - y[0]))
+        assert abs(d / (_nu(a, e2, phi) * math.cos(phi) * dlam) - 1.0) < 1e-6, code
+        # meridian direction — central difference (k varies along the
+        # meridian, so a one-sided step measures k at the midpoint)
+        dphi = 1e-4
+        lats = lat_ts + np.array([-0.5, 0.5]) * math.degrees(dphi)
+        x, y = crs.transform_np(np.full(2, 30.0), lats, "EPSG:4326", code)
+        d = math.hypot(float(x[1] - x[0]), float(y[1] - y[0]))
+        assert abs(d / (_rho_m(a, e2, phi) * dphi) - 1.0) < 1e-6, code
+
+
+def test_ups_conformality():
+    """Variant A (UPS): conformal ⇒ parallel-direction and
+    meridian-direction scales agree at every point."""
+    a, rf = crs_conic.ELLIPSOIDS["WGS84"]
+    e2 = (1.0 / rf) * (2.0 - 1.0 / rf)
+    for lat in (75.0, 80.0, 85.0):
+        phi = math.radians(lat)
+        d = 1e-4
+        # central differences in both directions (k varies with φ)
+        lons = np.array([40.0 - d / 2, 40.0 + d / 2, 40.0, 40.0])
+        lats = np.array([lat, lat, lat - d / 2, lat + d / 2])
+        x, y = crs.transform_np(lons, lats, "EPSG:4326", "EPSG:5041")
+        dr = math.radians(d)
+        k_par = math.hypot(float(x[1] - x[0]), float(y[1] - y[0])) / (
+            _nu(a, e2, phi) * math.cos(phi) * dr
+        )
+        k_mer = math.hypot(float(x[3] - x[2]), float(y[3] - y[2])) / (
+            _rho_m(a, e2, phi) * dr
+        )
+        assert abs(k_par / k_mer - 1.0) < 1e-6, lat
+        # UPS scale is k₀=0.994 at the pole and grows away from it
+        # (≈1.016 at 75°N); bracket the trend
+        assert 0.994 <= k_par < 1.02
+
+
+def test_polar_crs_extent_covers_cap():
+    ext = crs.crs_extent("EPSG:3413")
+    # the 60N circle has radius ρ(60) ≈ 3.4e6 m around the pole (0,0)
+    x, y = crs.transform_np(np.array([135.0 - 45.0]), np.array([60.0]), "EPSG:4326", "EPSG:3413")
+    r = math.hypot(float(x[0]), float(y[0]))
+    for v, lim in ((ext[0], -r), (ext[1], -r), (ext[2], r), (ext[3], r)):
+        assert abs(abs(v) - r) / r < 0.01
+
+
 def test_catalyst_numpy_parity(spark):
     """The Catalyst expression path and the numpy twin evaluate the same
     formula source — results must agree to float64 round-off on random
@@ -221,6 +314,7 @@ def test_catalyst_numpy_parity(spark):
         "EPSG:5070": (-124.0, 25.0, -67.0, 49.0),
         "EPSG:3035": (-10.0, 35.0, 30.0, 70.0),
         "EPSG:3395": (-170.0, -75.0, 170.0, 80.0),
+        "EPSG:3413": (-179.0, 61.0, 179.0, 89.0),
     }
     for code, (lo, la, hi, ha) in cases.items():
         lon = rng.uniform(lo, hi, n)
