@@ -144,6 +144,34 @@ def test_kde_parity(spark, pts, pts_pdf):
     assert rows[top] == 1.0
 
 
+def test_kde_ext_crs_parity(spark, pts, pts_pdf):
+    """KDE in an extension CRS (EPSG:3035 Europe LAEA via crs_conic):
+    the binning must match a numpy twin that projects with transform_np
+    and bins over crs_extent — proving the arbitrary-CRS hookup runs
+    inside the same codegen stage end-to-end (CustomCRSKDERasterResizeIT
+    analog beyond the built-in 4326/3857/UTM set)."""
+    from geowave_spark.crs import crs_extent, transform_np
+
+    level = 4
+    code = "EPSG:3035"
+    nx, ny = 1 << (level + 1), 1 << level
+    got = {(r["cx"], r["cy"]): r["weight"] for r in kde(pts, level, crs=code).collect()}
+    minx, miny, maxx, maxy = crs_extent(code)
+    X, Y = transform_np(pts_pdf["lon"].to_numpy(), pts_pdf["lat"].to_numpy(), "EPSG:4326", code)
+    grid = np.zeros((nx, ny))
+    px = np.clip(np.floor((X - minx) / (maxx - minx) * nx).astype(int), 0, nx - 1)
+    py = np.clip(np.floor((Y - miny) / (maxy - miny) * ny).astype(int), 0, ny - 1)
+    for dx, dy, w in gaussian_stencil():
+        cx = px + dx
+        cy = py + dy
+        m = (cx >= 0) & (cx < nx) & (cy >= 0) & (cy < ny)
+        np.add.at(grid, (cx[m], cy[m]), w)
+    want = {(i, j): grid[i, j] for i in range(nx) for j in range(ny) if grid[i, j] > 0}
+    assert set(got) == set(want)
+    for key in want:
+        assert math.isclose(got[key], want[key], rel_tol=1e-9), key
+
+
 def test_kde_distributed_percentile(spark):
     """A level-12 grid routes through the bucketed two-pass rank: no
     single-partition window exchange in the executed plan, and pct equals

@@ -160,6 +160,37 @@ class TestReproject3857:
         assert valid.mean() > 0.9
         assert np.allclose(out[valid], want[valid], atol=1e-3)
 
+    @pytest.mark.parametrize("code", ["EPSG:3035", "EPSG:2154"])
+    def test_bilinear_ext_crs(self, ramp, spec, code):
+        """Warp into crs_conic extension CRSes (Europe LAEA, Lambert-93):
+        same linear-field oracle — bilinear over the exact lattice must
+        reproduce f = 3·lon + 7·lat at every inverse-projected output
+        center, whatever the output projection."""
+        merged, tier, m = ramp
+        lon_in = (m["lon0"] + 0.1, m["lon0"] + 1.0)
+        lat_in = (m["lat0"] + 0.1, m["lat0"] + 0.7)
+        xs, ys = transform_np(
+            np.array(lon_in), np.array(lat_in), "EPSG:4326", code
+        )
+        # conic projections tilt the rectangle: order the bbox corners
+        x0, x1 = sorted(map(float, xs))
+        y0, y1 = sorted(map(float, ys))
+        ow, oh = 64, 48
+        out = warp_mosaic_array(
+            merged, tier, (x0, y0, x1, y1), (ow, oh), code, spec,
+            method="bilinear", block_size=32,
+        )[:, :, 0].astype(np.float64)
+        rx = (x1 - x0) / ow
+        ry = (y1 - y0) / oh
+        cx = x0 + (np.arange(ow) + 0.5) * rx
+        cy = y0 + (np.arange(oh) + 0.5) * ry
+        gx, gy = np.meshgrid(cx, cy)
+        lon, lat = transform_np(gx.ravel(), gy.ravel(), code, "EPSG:4326")
+        want = (3.0 * lon + 7.0 * lat).reshape(oh, ow)
+        valid = ~np.isnan(out)
+        assert valid.mean() > 0.9, code
+        assert np.abs(out[valid] - want[valid]).max() < 1e-3, code
+
     def test_rejects_unknown_method(self, ramp, spec):
         merged, tier, _ = ramp
         from geowave_spark.raster.warp import warp_mosaic
