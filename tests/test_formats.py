@@ -397,6 +397,37 @@ class TestGeoTiffCRS:
         # ~10 km of northing at 45N ≈ 0.090°; sanity-check the y span
         assert 0.085 < row["h"] * row["res_y"] < 0.095
 
+    def test_read_geotiffs_reprojects_ext_crs_envelope(self, spark, tmp_path):
+        """A Lambert-93 (EPSG:2154, crs_conic extension) GeoTIFF reads
+        straight through the same front door: the geokey code resolves
+        via the extended dispatch and the envelope reprojects into the
+        4326 index — no special-casing for non-built-in CRSes."""
+        from geowave_spark.crs import transform_np
+        from geowave_spark.sources.geotiff import read_geotiffs, write_geotiff
+
+        lon0, lat0 = 2.35, 48.85  # Paris-ish
+        x0, y0 = transform_np(np.array([lon0]), np.array([lat0]), "EPSG:4326", "EPSG:2154")
+        w = h = 80
+        res_m = 100.0
+        arr = np.ones((h, w, 1), dtype=np.uint8)
+        write_geotiff(
+            str(tmp_path / "l93.tif"),
+            arr,
+            origin=(float(x0[0]), float(y0[0]) + h * res_m),
+            res=res_m,
+            crs="EPSG:2154",
+        )
+        row = read_geotiffs(spark, str(tmp_path)).collect()[0]
+        # envelope covers both the SW and the far NE corner
+        assert row["lon"] <= lon0 + 1e-6 and row["lat"] <= lat0 + 1e-6
+        xf, yf = x0[0] + w * res_m, y0[0] + h * res_m
+        lon_f, lat_f = transform_np(np.array([xf]), np.array([yf]), "EPSG:2154", "EPSG:4326")
+        assert row["lon"] + row["w"] * row["res"] >= lon_f[0] - 1e-6
+        assert row["lat"] + row["h"] * row["res_y"] >= lat_f[0] - 1e-9
+        # 8 km at 48.85N ≈ 0.109° lon / 0.072° lat — sanity-check spans
+        assert 0.09 < row["w"] * row["res"] < 0.13
+        assert 0.06 < row["h"] * row["res_y"] < 0.08
+
     def test_anisotropic_pixel_scale_round_trip(self, tmp_path):
         """A source file whose ModelPixelScale y differs from x keeps both
         through parse (no silent isotropy assumption)."""
