@@ -46,10 +46,9 @@ def spatial_join(
     """
     if predicate == "within_distance":
         if "wkt" in right.columns:
-            if negative or salt:
-                raise NotImplementedError("negative/salt for polygon distance joins: v2")
             return polygon_distance_join(
-                left, right, radius, left_id, right_id, **kw
+                left, right, radius, left_id, right_id,
+                negative=negative, salt=salt, **kw
             )
         return distance_join(
             left, right, radius, left_id, right_id, negative=negative, salt=salt, **kw

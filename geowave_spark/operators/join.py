@@ -534,6 +534,7 @@ def _shuffle_polygon_join(
     radius: float | None,
     strategy: TieredStrategy,
     max_duplicates: int,
+    salt: int | None = None,
 ) -> DataFrame:
     """Big-both-sides point⋈polygon join — the reference's actual
     TieredSpatialJoin dataflow (TieredSpatialJoin.java:76-551), with no
@@ -585,8 +586,15 @@ def _shuffle_polygon_join(
         .withColumn("cell", cell_at_tier("_top", "tier", strategy.max_bits))
         .drop("_top")
     )
+    keys = ["tier", "cell"]
+    if salt:
+        # hot (tier, cell) buckets (many points meeting one big polygon's
+        # cell) spread across `salt` reducers: build rows replicate,
+        # probe rows hash into one — same mechanics as the point join
+        build, probe = _apply_salt(build, probe, int(salt))
+        keys = keys + ["_salt"]
     return (
-        probe.join(build.hint("shuffle_hash"), ["tier", "cell"])
+        probe.join(build.hint("shuffle_hash"), keys)
         .where(_pair_match_udf(radius)(F.col("_plon"), F.col("_plat"), F.col("_gwkt")))
         .select(F.col("_pid").alias(point_id), F.col("_gid").alias(polygon_id))
         .dropDuplicates([point_id, polygon_id])
@@ -662,21 +670,43 @@ def polygon_distance_join(
     max_duplicates: int = JOIN_MAX_DUPLICATES,
     plan: str = "auto",
     broadcast_limit: int = POLYGON_BROADCAST_LIMIT,
+    negative: bool = False,
+    salt: int | None = None,
 ) -> DataFrame:
     """Point within `radius` of polygon → distinct pairs (GeomWithinDistance
     against extended geometries, the hail×tornado_tracks fixture shape).
     Broadcast cell-grid plan up to ``broadcast_limit`` polygons, tiered
     shuffle join beyond it — same plan selection as
-    :func:`point_in_polygon_join`."""
+    :func:`point_in_polygon_join`.
+
+    ``negative=True`` returns the points with NO polygon within the
+    radius (JoinOptions negative-predicate semantics; one distinct +
+    left_anti over the positive pairs).  ``salt`` (int) spreads hot
+    (tier, cell) buckets on the shuffle plan; the broadcast plan has no
+    shuffle, so salt is a documented no-op there."""
+    if salt == "auto":
+        raise ValueError(
+            "salt='auto' is point-join-only (its census prices point cell "
+            "occupancy); pass an int factor for polygon distance joins"
+        )
     how = _polygon_join_plan(polygons, plan, broadcast_limit)
     if how == "shuffle":
-        return _shuffle_polygon_join(
+        pairs = _shuffle_polygon_join(
             points, polygons, point_id, polygon_id, lon, lat, wkt,
             radius=radius, strategy=strategy, max_duplicates=max_duplicates,
+            salt=salt,
         )
-    return _local_grid_polygon_join(
-        points, polygons, point_id, polygon_id, lon, lat, wkt, radius=radius
-    )
+    else:
+        pairs = _local_grid_polygon_join(
+            points, polygons, point_id, polygon_id, lon, lat, wkt, radius=radius
+        )
+    if negative:
+        return (
+            points.select(F.col(point_id))
+            .distinct()
+            .join(pairs.select(point_id).distinct(), point_id, "left_anti")
+        )
+    return pairs
 
 
 # The kind-aware grid/kernels make the "polygon" joins correct for ANY WKT

@@ -142,6 +142,55 @@ class TestPolygonJoins:
             want |= {(pa["image_id"].iloc[i], row.region_id) for i in np.nonzero(d2 <= r * r)[0]}
         assert got == want
 
+    def test_polygon_distance_negative(self, spark, points, regions):
+        """negative=True = points with NO polygon within the radius
+        (JoinOptions negative predicate, closed v2 stub) — brute
+        complement oracle, on both plans."""
+        r = 0.5
+        pa = points_pdf(N_POINTS)
+        near = set()
+        for _, row in regions_pdf(N_REGIONS).iterrows():
+            poly = parse_wkt(row.wkt)[1]
+            d2 = points_polygon_dist2(pa["lon"].to_numpy(), pa["lat"].to_numpy(), poly)
+            near |= {pa["image_id"].iloc[i] for i in np.nonzero(d2 <= r * r)[0]}
+        want = set(pa["image_id"]) - near
+        for plan in ("broadcast", "shuffle"):
+            got = {
+                row["image_id"]
+                for row in polygon_distance_join(
+                    points, regions, r, "image_id", "region_id",
+                    plan=plan, negative=True,
+                ).collect()
+            }
+            assert got == want, plan
+        assert 0 < len(want) < N_POINTS
+
+    def test_polygon_distance_salted_same_rows(self, spark, points, regions):
+        """An int salt on the shuffle plan must not change the row set."""
+        r = 0.5
+        base = _pairs(
+            polygon_distance_join(
+                points, regions, r, "image_id", "region_id", plan="shuffle"
+            ),
+            "image_id",
+            "region_id",
+        )
+        salted = _pairs(
+            polygon_distance_join(
+                points, regions, r, "image_id", "region_id",
+                plan="shuffle", salt=4,
+            ),
+            "image_id",
+            "region_id",
+        )
+        assert salted == base and len(base) > 20
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="auto"):
+            polygon_distance_join(
+                points, regions, r, "image_id", "region_id", salt="auto"
+            )
+
 
 class TestShufflePolygonJoin:
     """Big-both-sides fallback (TieredSpatialJoin shape, no driver
