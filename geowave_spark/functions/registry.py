@@ -24,6 +24,8 @@ the reference (SqlQueryRunner swaps in TieredSpatialJoin for the big case).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
@@ -182,6 +184,58 @@ def _intersects_pair(a, b) -> bool:
     # crossing between any part pair
     ca, cb_ = geom_is_closed(ka), geom_is_closed(kb)
     return geoms_pair_dist2(pa, ca, pb, cb_) == 0.0
+
+
+# WKT coordinate token (2D engine: numbers come in x y pairs)
+_WKT_NUM_RE = re.compile(r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?")
+
+
+def _st_transform_batch(g: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
+    """Batch kernel for st_transform: group rows by (src, dst), tokenize
+    each WKT's coordinates textually, run ONE vectorized transform over
+    the group's concatenated coordinates, substitute tokens in place."""
+    from ..crs import transform_np
+
+    gv = g.to_numpy(dtype=object)
+    sv = src.to_numpy(dtype=object)
+    dv = dst.to_numpy(dtype=object)
+    out: list = [None] * len(gv)
+    groups: dict[tuple, list[int]] = {}
+    for i in range(len(gv)):
+        if gv[i] is not None and sv[i] is not None and dv[i] is not None:
+            groups.setdefault((sv[i], dv[i]), []).append(i)
+    for (s, d), idxs in groups.items():
+        row_tok = []
+        xs: list[float] = []
+        ys: list[float] = []
+        for i in idxs:
+            toks = list(_WKT_NUM_RE.finditer(gv[i]))
+            if len(toks) % 2:
+                raise ValueError(
+                    f"odd coordinate count (XY only) in WKT: {gv[i][:48]!r}"
+                )
+            row_tok.append(toks)
+            vals = [float(t.group()) for t in toks]
+            xs.extend(vals[0::2])
+            ys.extend(vals[1::2])
+        X, Y = transform_np(np.asarray(xs, dtype=np.float64), np.asarray(ys, dtype=np.float64), s, d)
+        pos = 0
+        for i, toks in zip(idxs, row_tok):
+            w = gv[i]
+            n = len(toks) // 2
+            pieces = []
+            last = 0
+            for j in range(n):
+                tx, ty = toks[2 * j], toks[2 * j + 1]
+                pieces.append(w[last : tx.start()])
+                pieces.append(repr(float(X[pos + j])))
+                pieces.append(w[tx.end() : ty.start()])
+                pieces.append(repr(float(Y[pos + j])))
+                last = ty.end()
+            pieces.append(w[last:])
+            out[i] = "".join(pieces)
+            pos += n
+    return pd.Series(out)
 
 
 def register_all(spark: SparkSession) -> None:
@@ -385,6 +439,24 @@ def register_all(spark: SparkSession) -> None:
             [relate_crosses(_prepared(x), _prepared(y)) for x, y in zip(a, b)]
         )
 
+    @F.pandas_udf(StringType())
+    def st_transform(g: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
+        """Reproject a WKT geometry column between CRSes — the SQL face
+        of the engine's geotools-reprojection analog (the reference
+        reprojects feature/raster geometry into the index CRS on ingest,
+        core/geotime GeometryUtils crsTransform path; any CRS the
+        :mod:`geowave_spark.crs` dispatch accepts works here, including
+        crs_conic registry codes and +proj= strings).
+
+        Structure-preserving by construction: coordinate tokens are
+        located textually and substituted in place, so ring grouping
+        (holes, multipolygon shells) and nested GEOMETRYCOLLECTION
+        nesting survive exactly — no parse→flatten→reserialize loss.
+        The arithmetic is ONE vectorized transform_np call over all
+        coordinates of all rows sharing a (src, dst) pair per Arrow
+        batch; only tokenization/substitution is per-row."""
+        return _st_transform_batch(g, src, dst)
+
     for name, fn in [
         ("st_bbox", st_bbox),
         ("st_bbox_loose", st_bbox_loose),
@@ -396,5 +468,6 @@ def register_all(spark: SparkSession) -> None:
         ("st_overlaps", st_overlaps),
         ("st_touches", st_touches),
         ("st_crosses", st_crosses),
+        ("st_transform", st_transform),
     ]:
         spark.udf.register(name, fn)

@@ -104,3 +104,70 @@ def test_st_envelope(spark):
     kind, coords = parse_wkt(row["e"])
     assert coords[:, 0].min() == 1 and coords[:, 0].max() == 5
     assert coords[:, 1].min() == 2 and coords[:, 1].max() == 7
+
+
+def test_st_transform_point_matches_numpy(spark):
+    from geowave_spark.crs import transform_np
+
+    row = spark.sql(
+        "SELECT st_transform('POINT (2.3522 48.8566)', 'EPSG:4326', 'EPSG:2154') AS w"
+    ).first()
+    kind, parts = parse_wkt(row["w"])
+    assert kind == "POINT"
+    x, y = transform_np(np.array([2.3522]), np.array([48.8566]), "EPSG:4326", "EPSG:2154")
+    assert abs(parts[0][0] - x[0]) < 1e-6 and abs(parts[0][1] - y[0]) < 1e-6
+
+
+def test_st_transform_preserves_structure(spark):
+    """Polygon-with-hole and mixed collection keep their exact WKT shape
+    (ring grouping, nesting, kind words) — only numbers change."""
+    from geowave_spark.crs import transform_np
+
+    src = (
+        "GEOMETRYCOLLECTION (POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+        "(1 1, 2 1, 2 2, 1 2, 1 1)), LINESTRING (5 5, 6 7))"
+    )
+    row = spark.sql(
+        f"SELECT st_transform('{src}', 'EPSG:4326', 'EPSG:3857') AS w"
+    ).first()
+    got = row["w"]
+    import re as _re
+
+    # the non-numeric skeleton is untouched
+    skel = _re.sub(r"[-+0-9.eE]+", "#", src)
+    assert _re.sub(r"[-+0-9.eE]+", "#", got) == skel
+    # every coordinate equals the vectorized reference transform
+    nums = [float(t) for t in _re.findall(r"[-+]?[0-9.]+(?:[eE][-+]?\d+)?", got)]
+    src_nums = [float(t) for t in _re.findall(r"[-+]?[0-9.]+(?:[eE][-+]?\d+)?", src)]
+    X, Y = transform_np(
+        np.array(src_nums[0::2]), np.array(src_nums[1::2]), "EPSG:4326", "EPSG:3857"
+    )
+    assert np.allclose(nums[0::2], X, rtol=0, atol=1e-6)
+    assert np.allclose(nums[1::2], Y, rtol=0, atol=1e-6)
+
+
+def test_st_transform_roundtrip_and_nulls(spark):
+    pdf = points_pdf(50)
+    df = spark.createDataFrame(pdf)
+    df.createOrReplaceTempView("tr_pts")
+    rows = spark.sql(
+        """
+        SELECT image_id, st_transform(
+            st_transform(st_point(lon, lat), 'EPSG:4326', 'EPSG:32633'),
+            'EPSG:32633', 'EPSG:4326') AS w
+        FROM tr_pts
+        """
+    ).collect()
+    want = {r: (lo, la) for r, lo, la in zip(pdf["image_id"], pdf["lon"], pdf["lat"])}
+    for r in rows:
+        _, parts = parse_wkt(r["w"])
+        lo, la = want[r["image_id"]]
+        # world-spanning fixture points sit far outside UTM 33's zone,
+        # where the Krüger series degrades to ~1e-8 deg — allow 1e-6
+        assert abs(parts[0][0] - lo) < 1e-6 and abs(parts[0][1] - la) < 1e-6
+    # null propagates, EMPTY passes through
+    row = spark.sql(
+        "SELECT st_transform(CAST(NULL AS STRING), 'EPSG:4326', 'EPSG:3857') AS a, "
+        "st_transform('POLYGON EMPTY', 'EPSG:4326', 'EPSG:3857') AS b"
+    ).first()
+    assert row["a"] is None and row["b"] == "POLYGON EMPTY"
