@@ -340,3 +340,96 @@ def test_catalyst_numpy_parity(spark):
         ilo, ila = crs.transform_np(nx, ny, code, "EPSG:4326")
         assert np.abs(out2[:, 0] - ilo).max() < 1e-9
         assert np.abs(out2[:, 1] - ila).max() < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# property-based sweeps: random projection parameters, not just the registry
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+_lat = st.floats(min_value=-70.0, max_value=70.0)
+_lon = st.floats(min_value=-179.0, max_value=179.0)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    lat1=st.floats(min_value=-75.0, max_value=75.0),
+    dlat2=st.floats(min_value=0.0, max_value=15.0),
+    lat0=st.floats(min_value=-75.0, max_value=75.0),
+    lon0=st.floats(min_value=-179.0, max_value=179.0),
+    ellps=st.sampled_from(["WGS84", "GRS80", "intl", "sphere"]),
+    which=st.sampled_from(["lcc", "aea"]),
+)
+def test_conic_roundtrip_random_params(lat1, dlat2, lat0, lon0, ellps, which):
+    """Any LCC/Albers parameterization round-trips and pins its natural
+    origin at (FE, FN) — over random standard parallels, origins and
+    ellipsoids, not just the EPSG registry entries."""
+    lat2 = lat1 + dlat2
+    if abs(lat1) < 0.5 and abs(lat2) < 0.5 and which == "aea":
+        lat1, lat2 = lat1 + 5.0, lat2 + 10.0  # n→0 (cylindrical limit) is out of scope
+    if which == "lcc" and abs(lat1 + lat2) < 1.0:
+        lat1, lat2 = lat1 + 5.0, lat2 + 10.0  # n→0: secant parallels straddling the equator
+    p = (
+        f"+proj={which} +lat_0={lat0} +lat_1={lat1} +lat_2={lat2}"
+        f" +lon_0={lon0} +x_0=3000.0 +y_0=-2000.0 +ellps={ellps} +units=m"
+    )
+    ox, oy = crs.transform_np(np.array([lon0]), np.array([lat0]), "EPSG:4326", p)
+    assert abs(float(ox[0]) - 3000.0) < 1e-5
+    assert abs(float(oy[0]) + 2000.0) < 1e-5
+    # round-trip a window around the standard parallels (the projection's
+    # own domain), clamped to valid latitudes
+    mid = (lat1 + lat2) / 2.0
+    lats = np.clip(np.linspace(mid - 20.0, mid + 20.0, 9), -84.0, 84.0)
+    lons = ((lon0 + np.linspace(-60.0, 60.0, 9)) + 180.0) % 360.0 - 180.0
+    x, y = crs.transform_np(lons, lats, "EPSG:4326", p)
+    lo2, la2 = crs.transform_np(x, y, p, "EPSG:4326")
+    dlon = np.abs((lo2 - lons + 180.0) % 360.0 - 180.0)
+    assert dlon.max() < 1e-7
+    assert np.abs(la2 - lats).max() < 1e-7
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    lat0=st.floats(min_value=-60.0, max_value=60.0),
+    lon0=st.floats(min_value=-179.0, max_value=179.0),
+    ellps=st.sampled_from(["WGS84", "GRS80", "sphere"]),
+)
+def test_laea_roundtrip_random_params(lat0, lon0, ellps):
+    p = f"+proj=laea +lat_0={lat0} +lon_0={lon0} +ellps={ellps} +units=m"
+    ox, oy = crs.transform_np(np.array([lon0]), np.array([lat0]), "EPSG:4326", p)
+    assert abs(float(ox[0])) < 1e-5 and abs(float(oy[0])) < 1e-5
+    lats = np.clip(lat0 + np.linspace(-30.0, 30.0, 7), -84.0, 84.0)
+    lons = ((lon0 + np.linspace(-60.0, 60.0, 7)) + 180.0) % 360.0 - 180.0
+    x, y = crs.transform_np(lons, lats, "EPSG:4326", p)
+    lo2, la2 = crs.transform_np(x, y, p, "EPSG:4326")
+    dlon = np.abs((lo2 - lons + 180.0) % 360.0 - 180.0)
+    assert dlon.max() < 1e-6
+    assert np.abs(la2 - lats).max() < 1e-6
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    lon0=st.floats(min_value=-179.0, max_value=179.0),
+    k0=st.floats(min_value=0.99, max_value=1.01),
+    lat0=st.floats(min_value=-60.0, max_value=60.0),
+    ellps=st.sampled_from(["WGS84", "GRS80", "intl"]),
+)
+def test_tmerc_roundtrip_random_params(lon0, k0, lat0, ellps):
+    p = (
+        f"+proj=tmerc +lat_0={lat0} +lon_0={lon0} +k_0={k0}"
+        f" +x_0=500000 +y_0=0 +ellps={ellps} +units=m"
+    )
+    ox, oy = crs.transform_np(np.array([lon0]), np.array([lat0]), "EPSG:4326", p)
+    assert abs(float(ox[0]) - 500000.0) < 1e-6
+    assert abs(float(oy[0])) < 1e-6
+    lats = np.clip(lat0 + np.linspace(-25.0, 25.0, 7), -84.0, 84.0)
+    lons = lon0 + np.linspace(-6.0, 6.0, 7)  # in-zone domain
+    x, y = crs.transform_np(lons, lats, "EPSG:4326", p)
+    lo2, la2 = crs.transform_np(x, y, p, "EPSG:4326")
+    # ±6° spans twice a UTM zone's half-width: the Krüger n⁴ series
+    # truncates at ~4e-9 deg out there (sub-mm in zone) — allow 1 cm
+    assert np.abs(lo2 - lons).max() < 1e-7
+    assert np.abs(la2 - lats).max() < 1e-7
