@@ -77,6 +77,7 @@ CATALYST_OPS = SimpleNamespace(
     pow=F.pow,
     where=lambda c, a, b: F.when(c, a).otherwise(b),
     clip=lambda x, lo, hi: F.least(F.greatest(x, F.lit(lo)), F.lit(hi)),
+    mod=lambda x, m: F.pmod(x, F.lit(m)),
 )
 
 NUMPY_OPS = SimpleNamespace(
@@ -95,6 +96,7 @@ NUMPY_OPS = SimpleNamespace(
     pow=np.power,
     where=np.where,
     clip=np.clip,
+    mod=np.mod,
 )
 
 # --------------------------------------------------------------------------
@@ -178,6 +180,20 @@ class _Proj:
 
     # shared column/array kernels ------------------------------------------
 
+    def _norm_lam(self, o, lam):
+        """Normalize λ−λ₀ into (−π, π] — PROJ/geotools input-longitude
+        wrapping.  Without it, non-periodic kernels (θ = n·Δλ in the
+        conics, the linear Mercator x) put antimeridian-crossing points
+        on the wrong branch of the cone (found by the hypothesis sweep:
+        lon0=120 with a probe at wrapped lon −179 projected at Δλ=−299°
+        instead of +61°).  Maps to [−π, π); floor-mod in both backends
+        (np.mod / F.pmod) so the twins agree everywhere incl. the seam.
+        Conditional: in-range values pass through EXACTLY (the +π/mod/−π
+        round trip costs ~1 ulp at π ≈ 7e-16 rad, which the conformal
+        scale tests resolve), only out-of-range values pay the mod."""
+        in_range = (lam >= -math.pi) & (lam < math.pi)
+        return o.where(in_range, lam, o.mod(lam + math.pi, 2.0 * math.pi) - math.pi)
+
     def _t(self, o, phi):
         """Isometric-latitude helper t(φ) — conformal projections."""
         s = self.e * o.sin(phi)
@@ -230,6 +246,7 @@ class LambertConformal(_Proj):
 
     def __init__(self, a, f, lat0, lat1, lat2, lon0, fe, fn, k0=1.0, name=""):
         super().__init__(a, f, lon0, fe, fn, name)
+        self.lat0 = lat0
         e, e2 = self.e, self.e2
         t0, t1 = _t_s(lat0, e), _t_s(lat1, e)
         if abs(lat1 - lat2) < 1e-12:
@@ -245,7 +262,7 @@ class LambertConformal(_Proj):
 
     def forward(self, o, lon_deg, lat_deg):
         phi = lat_deg * D2R
-        lam = lon_deg * D2R - self.lon0
+        lam = self._norm_lam(o, lon_deg * D2R - self.lon0)
         r = self.a * self.F_ * o.pow(self._t(o, phi), self.n)
         th = self.n * lam
         return self.fe + r * o.sin(th), self.fn + self.r0 - r * o.cos(th)
@@ -256,7 +273,7 @@ class LambertConformal(_Proj):
         r = o.sqrt(ep * ep + np_ * np_)
         t = o.pow(r / (self.a * self.F_ * self._sgn), 1.0 / self.n)
         lam = o.atan2(ep, np_) / self.n + self.lon0
-        return lam * R2D, self._phi_from_t(o, t) * R2D
+        return self._norm_lam(o, lam) * R2D, self._phi_from_t(o, t) * R2D
 
 
 class AlbersEqualArea(_Proj):
@@ -264,6 +281,7 @@ class AlbersEqualArea(_Proj):
 
     def __init__(self, a, f, lat0, lat1, lat2, lon0, fe, fn, name=""):
         super().__init__(a, f, lon0, fe, fn, name)
+        self.lat0 = lat0
         e, e2 = self.e, self.e2
         m1, m2 = _m_s(lat1, e2), _m_s(lat2, e2)
         q0, q1 = _q_s(lat0, e, e2), _q_s(lat1, e, e2)
@@ -278,7 +296,7 @@ class AlbersEqualArea(_Proj):
 
     def forward(self, o, lon_deg, lat_deg):
         phi = lat_deg * D2R
-        lam = lon_deg * D2R - self.lon0
+        lam = self._norm_lam(o, lon_deg * D2R - self.lon0)
         rho = self.a * o.sqrt(self.C - self.n * self._q(o, phi)) / self.n
         th = self.n * lam
         return self.fe + rho * o.sin(th), self.fn + self.rho0 - rho * o.cos(th)
@@ -291,7 +309,7 @@ class AlbersEqualArea(_Proj):
         qp = _q_s(math.pi / 2.0, self.e, self.e2)
         beta = o.asin(o.clip(q / qp, -1.0, 1.0))
         lam = o.atan2(ep, np_) / self.n + self.lon0
-        return lam * R2D, self._phi_from_beta(o, beta) * R2D
+        return self._norm_lam(o, lam) * R2D, self._phi_from_beta(o, beta) * R2D
 
 
 class LambertAzimuthalEqualArea(_Proj):
@@ -335,7 +353,7 @@ class LambertAzimuthalEqualArea(_Proj):
         lam = o.atan2(
             ep * sc, self.D * rho_s * cb0 * cc - self.D * self.D * np_ * sb0 * sc
         )
-        lon = o.where(at_origin, self.lon0, lam + self.lon0) * R2D
+        lon = self._norm_lam(o, o.where(at_origin, self.lon0, lam + self.lon0)) * R2D
         lat = o.where(at_origin, self.lat0, self._phi_from_beta(o, beta)) * R2D
         return lon, lat
 
@@ -351,7 +369,7 @@ class MercatorEllipsoidal(_Proj):
 
     def forward(self, o, lon_deg, lat_deg):
         phi = lat_deg * D2R
-        lam = lon_deg * D2R - self.lon0
+        lam = self._norm_lam(o, lon_deg * D2R - self.lon0)
         x = self.fe + self.a * self.k0 * lam
         y = self.fn - self.a * self.k0 * o.log(self._t(o, phi))
         return x, y
@@ -359,7 +377,7 @@ class MercatorEllipsoidal(_Proj):
     def inverse(self, o, x, y):
         t = o.exp(-(y - self.fn) / (self.a * self.k0))
         lam = (x - self.fe) / (self.a * self.k0) + self.lon0
-        return lam * R2D, self._phi_from_t(o, t) * R2D
+        return self._norm_lam(o, lam) * R2D, self._phi_from_t(o, t) * R2D
 
 
 class PolarStereographic(_Proj):
@@ -404,7 +422,7 @@ class PolarStereographic(_Proj):
         phi = self.s * self._phi_from_t(o, t)
         # at the pole itself (ρ=0) atan2(0,0)=0 → λ = λ0, a fine convention
         lam = self.lon0 + self.s * o.atan2(ep, 0.0 - np_)
-        return lam * R2D, phi * R2D
+        return self._norm_lam(o, lam) * R2D, phi * R2D
 
 
 class TransverseMercatorGeneric(_Proj):
@@ -415,6 +433,7 @@ class TransverseMercatorGeneric(_Proj):
 
     def __init__(self, a, f, lat0, lon0, fe, fn, k0=1.0, name=""):
         super().__init__(a, f, lon0, fe, fn, name)
+        self.lat0 = lat0
         n = f / (2.0 - f)
         self.n3 = n
         self.A1 = a / (1.0 + n) * (1.0 + n**2 / 4.0 + n**4 / 64.0)
@@ -483,7 +502,7 @@ class TransverseMercatorGeneric(_Proj):
         for j, d in enumerate(self.delta, start=1):
             phi = phi + d * o.sin(2.0 * j * chi)
         lam = o.atan2(o.sinh(ep), o.cos(xp))
-        return (self.lon0 + lam) * R2D, phi * R2D
+        return self._norm_lam(o, self.lon0 + lam) * R2D, phi * R2D
 
 
 # --------------------------------------------------------------------------
@@ -618,10 +637,11 @@ def resolve(crs: str) -> tuple[_Proj, tuple[float, float, float, float]] | None:
         return parse_proj_string(text, name=key), area
     if c.startswith("+"):
         proj = parse_proj_string(c)
-        # default working area: a generous window around the natural origin
+        # default working area: a generous window around the natural
+        # origin (every projection stores lat0 in radians; Mercator's
+        # natural origin is the equator)
         lon0d = proj.lon0 * R2D
-        lat0d = getattr(proj, "lat0", 0.0)
-        lat0d = lat0d * R2D if isinstance(lat0d, float) and abs(lat0d) <= math.pi else 0.0
+        lat0d = getattr(proj, "lat0", 0.0) * R2D
         return proj, (
             max(-180.0, lon0d - 90.0),
             max(-85.0, lat0d - 45.0),

@@ -430,6 +430,67 @@ def test_tmerc_roundtrip_random_params(lon0, k0, lat0, ellps):
     x, y = crs.transform_np(lons, lats, "EPSG:4326", p)
     lo2, la2 = crs.transform_np(x, y, p, "EPSG:4326")
     # ±6° spans twice a UTM zone's half-width: the Krüger n⁴ series
-    # truncates at ~4e-9 deg out there (sub-mm in zone) — allow 1 cm
-    assert np.abs(lo2 - lons).max() < 1e-7
+    # truncates at ~4e-9 deg out there (sub-mm in zone) — allow 1 cm;
+    # wrap-safe because inverses emit principal-branch longitudes
+    dlon = np.abs((lo2 - lons + 180.0) % 360.0 - 180.0)
+    assert dlon.max() < 1e-7
     assert np.abs(la2 - lats).max() < 1e-7
+
+
+def test_polar_variant_a_equals_variant_b_at_equivalent_k0():
+    """Internal cross-check: variant A (k₀ at pole) with
+    k₀ = m(φ_ts)·√((1+e)^(1+e)(1−e)^(1−e)) / (2·t(φ_ts)) is the SAME
+    projection as variant B with standard parallel φ_ts — two distinct
+    code paths must agree to float round-off."""
+    a, rf = crs_conic.ELLIPSOIDS["WGS84"]
+    f = 1.0 / rf
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    ts = math.radians(70.0)
+    k0 = (
+        crs_conic._m_s(ts, e2)
+        * math.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+        / (2.0 * crs_conic._t_s(ts, e))
+    )
+    pa = f"+proj=stere +lat_0=90 +lon_0=-45 +k_0={k0!r} +ellps=WGS84"
+    pb = "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +ellps=WGS84"
+    rng = np.random.default_rng(31)
+    lon = rng.uniform(-180.0, 180.0, 300)
+    lat = rng.uniform(60.0, 89.9, 300)
+    xa, ya = crs.transform_np(lon, lat, "EPSG:4326", pa)
+    xb, yb = crs.transform_np(lon, lat, "EPSG:4326", pb)
+    assert np.abs(xa - xb).max() < 1e-6
+    assert np.abs(ya - yb).max() < 1e-6
+
+
+def test_mercator_lat_ts_scale():
+    """2SP Mercator: scale along the standard parallel φ_ts equals 1."""
+    a, rf = crs_conic.ELLIPSOIDS["WGS84"]
+    e2 = (1.0 / rf) * (2.0 - 1.0 / rf)
+    p = "+proj=merc +lat_ts=45 +lon_0=0 +ellps=WGS84 +units=m"
+    phi = math.radians(45.0)
+    dlam = 0.01
+    lons = np.array([10.0, 10.0 + math.degrees(dlam)])
+    x, _ = crs.transform_np(lons, np.full(2, 45.0), "EPSG:4326", p)
+    true_d = _nu(a, e2, phi) * math.cos(phi) * dlam
+    assert abs(float(x[1] - x[0]) / true_d - 1.0) < 1e-9
+
+
+def test_explicit_ab_ellipsoid_matches_named():
+    """+a/+b semi-axes must resolve to the same ellipsoid as +ellps."""
+    pa = "+proj=lcc +lat_0=46.5 +lat_1=49 +lat_2=44 +lon_0=3 +a=6378137 +b=6356752.314140356 +units=m"
+    pb = "+proj=lcc +lat_0=46.5 +lat_1=49 +lat_2=44 +lon_0=3 +ellps=GRS80 +units=m"
+    rng = np.random.default_rng(37)
+    lon = rng.uniform(-5.0, 10.0, 200)
+    lat = rng.uniform(41.0, 52.0, 200)
+    xa, ya = crs.transform_np(lon, lat, "EPSG:4326", pa)
+    xb, yb = crs.transform_np(lon, lat, "EPSG:4326", pb)
+    assert np.abs(xa - xb).max() < 1e-5
+    assert np.abs(ya - yb).max() < 1e-5
+
+
+def test_proj_string_default_extent_centers_on_origin():
+    ext = crs.crs_extent("+proj=lcc +lat_0=60 +lat_1=55 +lat_2=65 +lon_0=100 +ellps=WGS84")
+    ox, oy = crs.transform_np(np.array([100.0]), np.array([60.0]), "EPSG:4326",
+                              "+proj=lcc +lat_0=60 +lat_1=55 +lat_2=65 +lon_0=100 +ellps=WGS84")
+    assert ext[0] < ox[0] < ext[2] and ext[1] < oy[0] < ext[3]
