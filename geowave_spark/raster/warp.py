@@ -76,6 +76,22 @@ def _block_cells(
     nbx = -(-ow // block_size)
     nby = -(-oh // block_size)
     lat = np.linspace(0.0, 1.0, 5)
+    # pole points in out_crs (where representable): a block whose bbox
+    # contains a projected pole ENCIRCLES it, and the 5×5 boundary
+    # lattice then undercovers the lat envelope (measured: a 400 km
+    # EPSG:3413 window over the north pole left the pole-adjacent 1.25%
+    # of pixels nodata with sources present) — extend such blocks'
+    # envelopes to the pole itself
+    poles = []
+    for plat in (strat.dim_y.max, strat.dim_y.min):
+        try:
+            ppx, ppy = transform_np(
+                np.array([0.0]), np.array([plat]), index_crs, out_crs
+            )
+            if np.isfinite(ppx[0]) and np.isfinite(ppy[0]):
+                poles.append((float(ppx[0]), float(ppy[0]), float(plat)))
+        except Exception:
+            pass
     for byi in range(nby):
         for bxi in range(nbx):
             px0, px1 = bxi * block_size, min((bxi + 1) * block_size, ow)
@@ -85,11 +101,22 @@ def _block_cells(
             gy = y0 + (py0 + (py1 - py0) * lat) * resy
             xs, ys = np.meshgrid(gx, gy)
             lon, lat2 = transform_np(xs.ravel(), ys.ravel(), out_crs, index_crs)
+            lo_min, lo_max = float(lon.min()), float(lon.max())
+            la_min, la_max = float(lat2.min()), float(lat2.max())
+            for ppx, ppy, plat in poles:
+                if min(gx) <= ppx <= max(gx) and min(gy) <= ppy <= max(gy):
+                    la_min, la_max = min(la_min, plat), max(la_max, plat)
+                    lo_min, lo_max = strat.dim_x.min, strat.dim_x.max
+            if lo_max - lo_min > 180.0:
+                # wrap-around footprint (antimeridian seam): the sampled
+                # min/max already spans most of the lon range — gather it
+                # fully (superset; per-pixel sampling stays exact)
+                lo_min, lo_max = strat.dim_x.min, strat.dim_x.max
             env = (
-                max(float(lon.min()) - mx, strat.dim_x.min),
-                max(float(lat2.min()) - my, strat.dim_y.min),
-                min(float(lon.max()) + mx, strat.dim_x.max),
-                min(float(lat2.max()) + my, strat.dim_y.max),
+                max(lo_min - mx, strat.dim_x.min),
+                max(la_min - my, strat.dim_y.min),
+                min(lo_max + mx, strat.dim_x.max),
+                min(la_max + my, strat.dim_y.max),
             )
             if env[0] >= env[2] or env[1] >= env[3]:
                 continue

@@ -191,6 +191,46 @@ class TestReproject3857:
         assert valid.mean() > 0.9, code
         assert np.abs(out[valid] - want[valid]).max() < 1e-3, code
 
+    def test_polar_window_over_pole_full_coverage(self, spark, spec):
+        """A polar-stereographic output window centered on the pole: the
+        pole-enclosing blocks' footprints wrap the full longitude range
+        and reach lat 90, which a boundary sample lattice undercovers —
+        the gather plan must extend such blocks to the pole (pre-fix this
+        window left 1.25% of pixels nodata with sources present)."""
+        from geowave_spark.raster.tiling import _cells_for_envelope
+
+        strat = TieredStrategy()
+        tier = pick_tier(0.05, 16, strat)
+        rx = strat.dim_x.range / (1 << tier) / 16
+        ry = strat.dim_y.range / (1 << tier) / 16
+        gx, gy, cells = _cells_for_envelope(strat, tier, -180.0, 84.0, 180.0, 90.0)
+        rows = []
+        for ix, iy, c in zip(gx.tolist(), gy.tolist(), cells.tolist()):
+            cx = strat.dim_x.min + (ix * 16 + np.arange(16) + 0.5) * rx
+            cy = strat.dim_y.min + (iy * 16 + np.arange(16) + 0.5) * ry
+            tile = (0.03 * cx[None, :] + 7.0 * cy[:, None]).astype(np.float32)[:, :, None]
+            rows.append(
+                {"tier": tier, "cell": int(c), "tile": tile.tobytes(), "n_sources": 1}
+            )
+        merged = spark.createDataFrame(pd.DataFrame(rows))
+        ow = oh = 64
+        out = warp_mosaic_array(
+            merged, tier, (-200000, -200000, 200000, 200000), (ow, oh),
+            "EPSG:3413", spec, method="nearest", block_size=16,
+        )[:, :, 0]
+        valid = ~np.isnan(out)
+        assert valid.mean() == 1.0  # every pixel inverse-projects to lat>87
+        # brute oracle: nearest source-lattice sample per pixel
+        cxs = -200000 + (np.arange(ow) + 0.5) * (400000 / ow)
+        gxx, gyy = np.meshgrid(cxs, cxs)
+        lon, lat = transform_np(gxx.ravel(), gyy.ravel(), "EPSG:3413", "EPSG:4326")
+        sx = np.round((lon - strat.dim_x.min) / rx - 0.5)
+        sy = np.round((lat - strat.dim_y.min) / ry - 0.5)
+        plon = strat.dim_x.min + (sx + 0.5) * rx
+        plat = strat.dim_y.min + (sy + 0.5) * ry
+        want = (0.03 * plon + 7.0 * plat).reshape(oh, ow)
+        assert np.abs(out - want).max() < 1e-3
+
     def test_rejects_unknown_method(self, ramp, spec):
         merged, tier, _ = ramp
         from geowave_spark.raster.warp import warp_mosaic
