@@ -256,6 +256,11 @@ class LambertConformal(_Proj):
             self.n = (math.log(_m_s(lat1, e2)) - math.log(_m_s(lat2, e2))) / (
                 math.log(t1) - math.log(t2)
             )
+        if abs(self.n) < 1e-10:
+            raise ValueError(
+                "degenerate LCC cone (n≈0: equatorial/straddling standard "
+                "parallels) — use +proj=merc for the cylindrical limit"
+            )
         self.F_ = k0 * _m_s(lat1, e2) / (self.n * t1**self.n)
         self.r0 = self.a * self.F_ * t0**self.n
         self._sgn = 1.0 if self.n >= 0.0 else -1.0
@@ -290,6 +295,12 @@ class AlbersEqualArea(_Proj):
         else:
             q2 = _q_s(lat2, e, e2)
             self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        if abs(self.n) < 1e-10:
+            raise ValueError(
+                "degenerate Albers cone (n≈0: standard parallels symmetric "
+                "about the equator) — the cylindrical equal-area limit is "
+                "out of scope"
+            )
         self.C = m1 * m1 + self.n * q1
         self.rho0 = self.a * math.sqrt(self.C - self.n * q0) / self.n
         self._sgn = 1.0 if self.n >= 0.0 else -1.0

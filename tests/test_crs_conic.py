@@ -494,3 +494,10 @@ def test_proj_string_default_extent_centers_on_origin():
     ox, oy = crs.transform_np(np.array([100.0]), np.array([60.0]), "EPSG:4326",
                               "+proj=lcc +lat_0=60 +lat_1=55 +lat_2=65 +lon_0=100 +ellps=WGS84")
     assert ext[0] < ox[0] < ext[2] and ext[1] < oy[0] < ext[3]
+
+
+def test_degenerate_cone_raises_clearly():
+    with pytest.raises(ValueError, match="degenerate"):
+        crs_conic.parse_proj_string("+proj=lcc +lon_0=3 +units=m")
+    with pytest.raises(ValueError, match="degenerate"):
+        crs_conic.parse_proj_string("+proj=aea +lat_1=-20 +lat_2=20 +units=m")
