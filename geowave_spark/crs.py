@@ -31,6 +31,7 @@ UTM zone (|λ−λ₀| ≤ 3°), which matches the reference's geotools
 
 from __future__ import annotations
 
+import functools
 import math
 import re
 
@@ -77,11 +78,14 @@ WEB_MERCATOR_EXTENT = A_WGS84 * math.pi  # 20037508.342789244
 _UTM_RE = re.compile(r"^EPSG:32([67])(\d\d)$")
 
 
+@functools.lru_cache(maxsize=256)
 def _parse(crs: str):
     """→ ("lonlat",) | ("webmerc",) | ("utm", lon0_deg, fn) |
     ("ext", proj, area) — the last via :mod:`crs_conic` (LCC / Albers /
     LAEA / ellipsoidal Mercator / generic TM, EPSG registry + proj
-    strings)."""
+    strings).  Cached: extension parsing tokenizes a proj string and
+    precomputes transcendental scalar constants, and driver planning
+    loops (warp block plans) call transform_np thousands of times."""
     c = crs.upper().replace(" ", "")
     if c in ("EPSG:4326", "CRS:84", "WGS84"):
         return ("lonlat",)

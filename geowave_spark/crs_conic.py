@@ -186,12 +186,15 @@ class _Proj:
         conics, the linear Mercator x) put antimeridian-crossing points
         on the wrong branch of the cone (found by the hypothesis sweep:
         lon0=120 with a probe at wrapped lon −179 projected at Δλ=−299°
-        instead of +61°).  Maps to [−π, π); floor-mod in both backends
-        (np.mod / F.pmod) so the twins agree everywhere incl. the seam.
-        Conditional: in-range values pass through EXACTLY (the +π/mod/−π
-        round trip costs ~1 ulp at π ≈ 7e-16 rad, which the conformal
-        scale tests resolve), only out-of-range values pay the mod."""
-        in_range = (lam >= -math.pi) & (lam < math.pi)
+        instead of +61°).  In-range is the CLOSED [−π, π] like PROJ's
+        adjlon — +π must stay +π, else the lon=180 edge collapses onto
+        the west edge (a dateline-touching envelope would explode to
+        world-spanning).  floor-mod in both backends (np.mod / F.pmod)
+        so the twins agree everywhere incl. the seam.  Conditional:
+        in-range values pass through EXACTLY (the +π/mod/−π round trip
+        costs ~1 ulp at π ≈ 7e-16 rad, which the conformal scale tests
+        resolve), only out-of-range values pay the mod."""
+        in_range = (lam >= -math.pi) & (lam <= math.pi)
         return o.where(in_range, lam, o.mod(lam + math.pi, 2.0 * math.pi) - math.pi)
 
     def _t(self, o, phi):
@@ -440,7 +443,13 @@ class TransverseMercatorGeneric(_Proj):
     """EPSG method 9807 — Krüger n-series to n⁴ (Karney 2011 / IOGP
     GN7-2), parameterized over ellipsoid, λ₀, φ₀, k₀, FE/FN.  The same
     series as ``crs.py``'s fixed-WGS84 UTM path, recomputed for the
-    requested ellipsoid at parse time."""
+    requested ellipsoid at parse time.
+
+    The duplication with crs.py's UTM branch is DELIBERATE: that path is
+    this module's independent cross-check anchor
+    (tests/test_crs_conic.py::test_generic_tmerc_matches_trusted_utm_path
+    pins the two to 1e-6 m over the zone), so folding one into the other
+    would turn the cross-implementation oracle into a tautology."""
 
     def __init__(self, a, f, lat0, lon0, fe, fn, k0=1.0, name=""):
         super().__init__(a, f, lon0, fe, fn, name)
@@ -543,6 +552,17 @@ def parse_proj_string(text: str, name: str = "") -> _Proj:
     tw = params.get("towgs84")
     if tw and any(abs(float(v)) > 1e-9 for v in tw.split(",")):
         raise ValueError("non-zero towgs84 datum shift unsupported")
+    pm = params.get("pm", "greenwich")
+    if pm not in ("greenwich", "0"):
+        raise ValueError(
+            f"non-greenwich prime meridian +pm={pm!r} unsupported (would "
+            f"silently shift longitudes)"
+        )
+    if params.get("axis", "enu") != "enu":
+        raise ValueError(f"non-ENU axis order +axis={params['axis']!r} unsupported")
+    tm = params.get("to_meter")
+    if tm is not None and abs(float(tm) - 1.0) > 1e-12:
+        raise ValueError(f"+to_meter={tm} unsupported (meters only)")
     a, f = _ellipsoid(params)
 
     def ang(key, default=0.0):
@@ -650,7 +670,13 @@ def resolve(crs: str) -> tuple[_Proj, tuple[float, float, float, float]] | None:
         proj = parse_proj_string(c)
         # default working area: a generous window around the natural
         # origin (every projection stores lat0 in radians; Mercator's
-        # natural origin is the equator)
+        # natural origin is the equator).  Polar aspects get the full
+        # longitude circle down to a 45° ring — a lon window around the
+        # pole is meaningless and would truncate the cap's extent
+        if isinstance(proj, PolarStereographic):
+            if proj.s > 0:
+                return proj, (-180.0, 45.0, 180.0, 90.0)
+            return proj, (-180.0, -90.0, 180.0, -45.0)
         lon0d = proj.lon0 * R2D
         lat0d = getattr(proj, "lat0", 0.0) * R2D
         return proj, (

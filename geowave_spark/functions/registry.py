@@ -219,6 +219,15 @@ def _st_transform_batch(g: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Seri
             xs.extend(vals[0::2])
             ys.extend(vals[1::2])
         X, Y = transform_np(np.asarray(xs, dtype=np.float64), np.asarray(ys, dtype=np.float64), s, d)
+        bad = ~(np.isfinite(X) & np.isfinite(Y))
+        if bad.any():
+            # repr(inf/nan) is not valid WKT and the failure would surface
+            # far downstream — fail loudly at the source instead
+            k = int(np.nonzero(bad)[0][0])
+            raise ValueError(
+                f"st_transform: coordinate ({xs[k]}, {ys[k]}) is outside the "
+                f"domain of {s!r}→{d!r} (non-finite result)"
+            )
         pos = 0
         for i, toks in zip(idxs, row_tok):
             w = gv[i]

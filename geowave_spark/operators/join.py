@@ -634,15 +634,21 @@ def point_in_polygon_join(
     tiered shuffle join (:func:`_shuffle_polygon_join`), which never
     collects geometry to the driver.  The probe is a bounded
     ``limit(broadcast_limit+1).count()``, not a full count.
-    ``salt`` is accepted for API parity but unused — the broadcast plan
-    has no shuffle to salt, and the shuffle plan leans on AQE skew
-    splitting of the (tier, cell) exchange.
+    ``salt`` (int) spreads hot (tier, cell) buckets on the shuffle plan
+    (same replicate/hash mechanics as the distance joins); the broadcast
+    plan has no shuffle, so salt is a no-op there.
     """
+    if salt == "auto":
+        raise ValueError(
+            "salt='auto' is point-join-only (its census prices point cell "
+            "occupancy); pass an int factor for polygon joins"
+        )
     how = _polygon_join_plan(polygons, plan, broadcast_limit)
     if how == "shuffle":
         pairs = _shuffle_polygon_join(
             points, polygons, point_id, polygon_id, lon, lat, wkt,
             radius=None, strategy=strategy, max_duplicates=max_duplicates,
+            salt=salt,
         )
     else:
         pairs = _local_grid_polygon_join(

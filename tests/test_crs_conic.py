@@ -501,3 +501,36 @@ def test_degenerate_cone_raises_clearly():
         crs_conic.parse_proj_string("+proj=lcc +lon_0=3 +units=m")
     with pytest.raises(ValueError, match="degenerate"):
         crs_conic.parse_proj_string("+proj=aea +lat_1=-20 +lat_2=20 +units=m")
+
+
+def test_dateline_edge_stays_east():
+    """+180° must project to the EAST edge (closed [−π, π] wrapping like
+    PROJ adjlon) — pre-fix it collapsed onto −180, exploding any
+    dateline-touching envelope to world-spanning (code-review find)."""
+    x, _ = crs.transform_np(np.array([180.0]), np.array([0.0]), "EPSG:4326", "EPSG:3395")
+    assert float(x[0]) > 2.0e7
+    env = crs.reproject_envelope((170.0, -10.0, 180.0, 10.0), "EPSG:4326", "EPSG:3395")
+    assert env[0] > 1.8e7 and env[2] > env[0]
+    ext = crs.crs_extent("EPSG:3395")
+    assert abs(ext[2] + ext[0]) < 1.0  # symmetric east/west edges
+
+
+def test_polar_proj_string_default_extent_covers_cap():
+    """Ad-hoc polar stereographic proj strings get a full-circle default
+    working area — pre-fix the lon0±90 half-plane truncated the extent
+    at the pole (maxy ≈ 0), silently piling far-side KDE points onto
+    one grid edge (code-review find)."""
+    p = "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +ellps=WGS84"
+    ext = crs.crs_extent(p)
+    x, y = crs.transform_np(np.array([135.0]), np.array([70.0]), "EPSG:4326", p)
+    assert ext[0] < x[0] < ext[2]
+    assert ext[1] < y[0] < ext[3]
+
+
+def test_pm_axis_to_meter_rejected():
+    with pytest.raises(ValueError, match="pm"):
+        crs_conic.parse_proj_string("+proj=lcc +lat_1=46.8 +pm=paris +units=m")
+    with pytest.raises(ValueError, match="axis"):
+        crs_conic.parse_proj_string("+proj=merc +axis=neu +units=m")
+    with pytest.raises(ValueError, match="to_meter"):
+        crs_conic.parse_proj_string("+proj=merc +to_meter=0.3048")

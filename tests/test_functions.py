@@ -171,3 +171,15 @@ def test_st_transform_roundtrip_and_nulls(spark):
         "st_transform('POLYGON EMPTY', 'EPSG:4326', 'EPSG:3857') AS b"
     ).first()
     assert row["a"] is None and row["b"] == "POLYGON EMPTY"
+
+
+def test_st_transform_out_of_domain_raises(spark):
+    """A pole through Mercator is outside the projection domain: fail
+    loudly instead of emitting 'POINT (0.0 inf)' (code-review find)."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception, match="outside the domain|PythonException|non-finite"):
+        spark.sql(
+            "SELECT st_transform('POINT (0 90)', 'EPSG:4326', 'EPSG:3395') AS w"
+        ).collect()
