@@ -230,6 +230,9 @@ def main():
         lambda: tile_images(tile_imgs, tile_size=16).count(),
         rows_in=TILE_IMAGES_N,
     )
+    # the 8m split budget is tile_assignment-specific — restore the
+    # default so the sf_* queries below scan at the intended 128m splits
+    spark.conf.unset("spark.sql.files.maxPartitionBytes")
     extras["tile_tiles_per_sec"] = round(n_tiles / timings["tile_assignment"], 1)
 
     # driver-contract queries at the sf tables

@@ -439,6 +439,19 @@ class PolarStereographic(_Proj):
         return self._norm_lam(o, lam) * R2D, phi * R2D
 
 
+class GeographicLonLat(_Proj):
+    """``+proj=longlat`` — geographic coordinates as the "projected"
+    plane, PROJ's convention: x = longitude°, y = latitude°.  Identity
+    both ways; the ellipsoid params only matter for datum shifts, which
+    the parser already rejects (non-zero towgs84)."""
+
+    def forward(self, o, lon_deg, lat_deg):
+        return lon_deg + 0.0, lat_deg + 0.0
+
+    def inverse(self, o, x, y):
+        return x + 0.0, y + 0.0
+
+
 class TransverseMercatorGeneric(_Proj):
     """EPSG method 9807 — Krüger n-series to n⁴ (Karney 2011 / IOGP
     GN7-2), parameterized over ellipsoid, λ₀, φ₀, k₀, FE/FN.  The same
@@ -588,6 +601,10 @@ def parse_proj_string(text: str, name: str = "") -> _Proj:
         return MercatorEllipsoidal(a, f, lon0, fe, fn, k0, lat_ts, name)
     if proj == "tmerc":
         return TransverseMercatorGeneric(a, f, lat0, lon0, fe, fn, k0, name)
+    if proj == "longlat":
+        if lon0 != 0.0 or fe != 0.0 or fn != 0.0:
+            raise ValueError("+proj=longlat with lon_0/x_0/y_0 unsupported")
+        return GeographicLonLat(a, f, 0.0, 0.0, 0.0, name)
     if proj == "stere":
         if abs(abs(lat0) - math.pi / 2.0) > 1e-12:
             raise ValueError(
@@ -673,16 +690,24 @@ def resolve(crs: str) -> tuple[_Proj, tuple[float, float, float, float]] | None:
         # natural origin is the equator).  Polar aspects get the full
         # longitude circle down to a 45° ring — a lon window around the
         # pole is meaningless and would truncate the cap's extent
+        if isinstance(proj, GeographicLonLat):
+            return proj, (-180.0, -90.0, 180.0, 90.0)
         if isinstance(proj, PolarStereographic):
             if proj.s > 0:
                 return proj, (-180.0, 45.0, 180.0, 90.0)
             return proj, (-180.0, -90.0, 180.0, -45.0)
         lon0d = proj.lon0 * R2D
         lat0d = getattr(proj, "lat0", 0.0) * R2D
+        # transverse Mercator blows up at λ = ±90° from the central
+        # meridian (atanh(±1) = ∞ on the equator), so its window must
+        # stay well inside that singularity; EPSG GN7-2 puts the Krüger
+        # series' useful domain around the central meridian — cap at
+        # ±30°, far beyond any real TM zone (UTM is ±3°)
+        half_lon = 30.0 if isinstance(proj, TransverseMercatorGeneric) else 90.0
         return proj, (
-            max(-180.0, lon0d - 90.0),
+            max(-180.0, lon0d - half_lon),
             max(-85.0, lat0d - 45.0),
-            min(180.0, lon0d + 90.0),
+            min(180.0, lon0d + half_lon),
             min(85.0, lat0d + 45.0),
         )
     return None

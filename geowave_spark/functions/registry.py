@@ -36,6 +36,7 @@ from ..geom import (
     GeomBatch,
     any_pair_dist2,
     as_components,
+    flatten_parts,
     geom_is_closed,
     geoms_pair_dist2,
     parse_wkt_multi,
@@ -323,8 +324,9 @@ def register_all(spark: SparkSession) -> None:
     def st_envelope(a: pd.Series) -> pd.Series:
         out = []
         for w in a:
-            _, parts = _parse_multi(w)
-            c = np.vstack(parts)
+            # flatten_parts handles mixed GEOMETRYCOLLECTION, whose parts
+            # list holds (kind, parts) tuples rather than coord arrays
+            c = np.vstack(flatten_parts(_parse_multi(w)))
             x0, y0, x1, y1 = polygon_envelope(c) if len(c) > 1 else (c[0][0], c[0][1], c[0][0], c[0][1])
             out.append(
                 f"POLYGON (({x0:.17g} {y0:.17g}, {x1:.17g} {y0:.17g}, "
@@ -361,8 +363,7 @@ def register_all(spark: SparkSession) -> None:
     # is exactly the envelope semantics here).
 
     def _env_of(w: str):
-        kind, parts = _parse_multi(w)
-        c = np.vstack(parts)
+        c = np.vstack(flatten_parts(_parse_multi(w)))
         if len(c) == 1:
             return c[0][0], c[0][1], c[0][0], c[0][1]
         return polygon_envelope(c)
@@ -373,16 +374,25 @@ def register_all(spark: SparkSession) -> None:
 
         out = np.zeros(len(g), dtype=bool)
         for i, w in enumerate(g):
-            kind, parts = _parse_multi(w)
             x0, y0, x1, y1 = float(minx[i]), float(miny[i]), float(maxx[i]), float(maxy[i])
-            if kind == "POINT":
-                c = parts[0]
-                out[i] = x0 <= c[0][0] <= x1 and y0 <= c[0][1] <= y1
-            else:
-                out[i] = cell_rect_intersects_geom(
-                    np.array([x0]), np.array([y0]), np.array([x1]), np.array([y1]),
-                    parts, geom_is_closed(kind),
-                )[0]
+            # union semantics: a collection intersects the box iff any
+            # homogeneous component does (as_components is a singleton
+            # for non-collections)
+            hit = False
+            for kind, parts in as_components(_parse_multi(w)):
+                if kind == "POINT":
+                    c = parts[0]
+                    hit = bool(x0 <= c[0][0] <= x1 and y0 <= c[0][1] <= y1)
+                else:
+                    hit = bool(
+                        cell_rect_intersects_geom(
+                            np.array([x0]), np.array([y0]), np.array([x1]), np.array([y1]),
+                            parts, geom_is_closed(kind),
+                        )[0]
+                    )
+                if hit:
+                    break
+            out[i] = hit
         return pd.Series(out)
 
     @F.pandas_udf(BooleanType())

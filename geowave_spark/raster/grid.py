@@ -25,6 +25,7 @@ never interpolates into data).  This module carries that generality:
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 import numpy as np
@@ -111,7 +112,12 @@ def tile_rasters(
                     int(r.h), int(r.w), spec.bands
                 )
                 res = float(r.res)
+                # a null res_y arrives from pandas as NaN (truthy!), so
+                # `or res` alone would let NaN through and the floor/int
+                # cast below would silently drop the raster's every tile
                 res_y = float(getattr(r, "res_y", res) or res)
+                if not math.isfinite(res_y) or res_y <= 0.0:
+                    res_y = res
                 minx, miny = float(r.lon), float(r.lat)
                 t = pick_tier(min(res, res_y), ts, strat)
                 span_x = strat.dim_x.range / (1 << t)

@@ -534,3 +534,38 @@ def test_pm_axis_to_meter_rejected():
         crs_conic.parse_proj_string("+proj=merc +axis=neu +units=m")
     with pytest.raises(ValueError, match="to_meter"):
         crs_conic.parse_proj_string("+proj=merc +to_meter=0.3048")
+
+
+class TestGenericDefaultAreas:
+    """r4 review fixes: resolve()'s default working areas must stay
+    inside each projection family's domain."""
+
+    def test_generic_tmerc_extent_is_finite(self):
+        from geowave_spark.crs import crs_extent
+
+        e = crs_extent("+proj=tmerc +lon_0=9 +k_0=0.9996 +ellps=GRS80")
+        assert all(math.isfinite(v) for v in e), e
+        assert e[0] < 0 < e[2] and e[1] < 0 < e[3]
+
+    def test_longlat_proj_string_is_geographic_identity(self):
+        from geowave_spark.crs import crs_extent, transform_np
+
+        ll = "+proj=longlat +ellps=WGS84 +towgs84=0,0,0"
+        x, y = transform_np(
+            np.array([9.5, -120.0]), np.array([48.0, -33.0]), ll, "EPSG:4326"
+        )
+        assert np.allclose(x, [9.5, -120.0]) and np.allclose(y, [48.0, -33.0])
+        # the documented common spelling routes to the same projected
+        # coords as the EPSG:4326 source path
+        xa, ya = transform_np(np.array([9.5]), np.array([48.0]), ll, "EPSG:2154")
+        xb, yb = transform_np(
+            np.array([9.5]), np.array([48.0]), "EPSG:4326", "EPSG:2154"
+        )
+        assert np.allclose(xa, xb) and np.allclose(ya, yb)
+        assert crs_extent(ll) == (-180.0, -90.0, 180.0, 90.0)
+
+    def test_longlat_rejects_silent_shifts(self):
+        from geowave_spark.crs_conic import parse_proj_string
+
+        with pytest.raises(ValueError):
+            parse_proj_string("+proj=longlat +lon_0=90 +ellps=WGS84")

@@ -155,3 +155,31 @@ class TestSparkFrontDoor:
         df = spark.createDataFrame([(1, GC_MIXED)], "id int, wkt string")
         cells = explode_polygon_cells(df, "wkt", keep=["id", "wkt"])
         assert cells.count() > 0
+
+    def test_envelope_family_on_mixed_gc(self, spark):
+        """r4 review fix: st_envelope / st_bbox / the min-max accessors
+        route mixed collections through flatten_parts / as_components
+        instead of np.vstack-ing the (kind, parts) component tuples."""
+        from geowave_spark.functions import register_all
+
+        register_all(spark)
+        r = spark.sql(
+            f"SELECT st_envelope('{GC_MIXED}') AS env, "
+            f"       st_xmin('{GC_MIXED}') AS x0, st_ymin('{GC_MIXED}') AS y0, "
+            f"       st_xmax('{GC_MIXED}') AS x1, st_ymax('{GC_MIXED}') AS y1, "
+            f"       st_bbox('{GC_MIXED}', 9.0D, 9.0D, 11.0D, 11.0D) AS hit_pt, "
+            f"       st_bbox('{GC_MIXED}', 30.0D, 30.0D, 40.0D, 40.0D) AS miss, "
+            f"       st_bbox('{GC_MIXED}', 21.0D, 21.0D, 22.0D, 22.0D) AS hit_poly, "
+            f"       st_bbox('{GC_MIXED}', 14.0D, 14.0D, 18.0D, 18.0D) AS gap, "
+            f"       st_bbox_loose('{GC_MIXED}', 14.0D, 14.0D, 18.0D, 18.0D) AS gap_loose, "
+            f"       st_intersects_loose('{GC_MIXED}', 'POINT (15 15)') AS il"
+        ).first()
+        assert r["x0"] == 0.0 and r["y0"] == 0.0
+        assert r["x1"] == 24.0 and r["y1"] == 24.0
+        assert "24" in r["env"] and r["env"].startswith("POLYGON")
+        assert r["hit_pt"] is True and r["hit_poly"] is True
+        assert r["miss"] is False
+        # the 14..18 box sits in the gap between components: exact bbox
+        # is False, envelope-only (LOOSE) is True
+        assert r["gap"] is False and r["gap_loose"] is True
+        assert r["il"] is True

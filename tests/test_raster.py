@@ -472,3 +472,40 @@ class TestAnisotropicTiling:
                         assert px[py, pxi, 0] == float(sy)
                         hits += 1
         assert hits > 20
+
+
+class TestResYNullFallback:
+    """r4 review fix: a null res_y (pandas delivers NaN, which is truthy)
+    must fall back to the square-pixel res, not silently emit zero tiles
+    through the NaN→INT64_MIN floor cast."""
+
+    def test_null_res_y_matches_square_pixel_tiles(self, spark):
+        import pandas as pd
+
+        from geowave_spark.raster.grid import RasterSpec, tile_rasters
+
+        spec = RasterSpec(bands=1, dtype="float32", nodata=float("nan"))
+        h, w, res = 24, 32, 0.004
+        arr = np.arange(h * w, dtype=np.float32).reshape(h, w, 1)
+        base = {
+            "raster_id": "r0",
+            "data": arr.tobytes(),
+            "w": w,
+            "h": h,
+            "lon": 3.0,
+            "lat": 41.0,
+            "res": res,
+        }
+        with_null = spark.createDataFrame(
+            pd.DataFrame([{**base, "res_y": None}])
+        )
+        without_col = spark.createDataFrame(pd.DataFrame([base]))
+        got = sorted(
+            (r["tier"], r["cell"], bytes(r["tile"]))
+            for r in tile_rasters(with_null, spec, 16).collect()
+        )
+        want = sorted(
+            (r["tier"], r["cell"], bytes(r["tile"]))
+            for r in tile_rasters(without_col, spec, 16).collect()
+        )
+        assert got and got == want
