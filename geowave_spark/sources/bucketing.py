@@ -1,0 +1,166 @@
+"""Bucketed persistence of the cell-indexed point table — the exchange
+that never happens again.
+
+The reference persists its index ONCE (rows keyed by SFC cell in the
+k/v store) and every later query range-scans it without re-keying
+(GeoWaveRDDLoader reads pre-partitioned splits).  The Spark-native
+analog is a **bucketed table**: ``bucketBy(n, "cell")`` at write time
+makes every later equi-join on ``cell`` read the big side with NO
+Exchange — HashPartitioning(cell, n) from the scan already satisfies the
+join's ClusteredDistribution, so only the (small, per-query) exploded
+build side shuffles.  At 100 TB this converts the dominant stage of
+every repeated spatial join from "shuffle 100 TB" to "shuffle the query
+geometries": the indexed table is written once, joined forever.
+
+Design constraints this module enforces rather than documents:
+
+* The persisted ``cell`` must be the SAME tier the join would compute
+  (``distance_join`` derives tier from the radius: the finest tier whose
+  cell covers the 2r×2r buffered envelope).  The writer records
+  (tier, max radius, bucket count) in table properties and
+  :func:`bucketed_distance_join` verifies them — a mismatched radius
+  raises instead of silently joining disjoint id spaces.
+* Bucket pruning/co-location only survives if the join key is the
+  as-stored column — the join below uses the persisted ``cell`` column
+  directly, never recomputing it through the UDF (which would insert a
+  Python eval + Exchange above the scan).
+
+Reference: GeoWaveRDDLoader.loadIndexedRDD + RDDUtils.writeRDDToGeoWave
+(analytics/spark/.../RDDUtils.java) — persist-indexed-once semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..encode import explode_envelope_cells, point_cell_at_tier_udf
+from ..sfc.tiered import TieredStrategy
+
+DEFAULT_STRATEGY = TieredStrategy()
+
+_PROP_TIER = "geowave.cell.tier"
+_PROP_RADIUS = "geowave.cell.max_radius"
+_PROP_BUCKETS = "geowave.cell.buckets"
+
+
+def write_bucketed_points(
+    df: DataFrame,
+    table: str,
+    radius: float,
+    *,
+    n_buckets: int = 64,
+    lon: str = "lon",
+    lat: str = "lat",
+    strategy: TieredStrategy = DEFAULT_STRATEGY,
+    mode: str = "overwrite",
+) -> int:
+    """Persist ``df`` as a catalog table bucketed + sorted by the join
+    cell for within-``radius`` joins.  Returns the tier used.
+
+    ``n_buckets`` is the fixed reduce-side width of every later join —
+    size it like shuffle partitions at the target scale (e.g. 4096 for a
+    1000-executor cluster), NOT per-query.  ``sortBy("cell")`` keeps each
+    bucket file cell-clustered so the sort-merge path skips its sort when
+    Spark can use one file per bucket.
+    """
+    spark = df.sparkSession
+    tier = strategy.tier_for_width(2.0 * radius, 2.0 * radius)
+    enc = df.withColumn(
+        "cell", point_cell_at_tier_udf(strategy, tier)(F.col(lon), F.col(lat))
+    )
+    (
+        enc.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, "cell")
+        .sortBy("cell")
+        .saveAsTable(table)
+    )
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES ("
+        f"'{_PROP_TIER}'='{tier}', '{_PROP_RADIUS}'='{radius!r}', "
+        f"'{_PROP_BUCKETS}'='{n_buckets}')"
+    )
+    return tier
+
+
+def _table_props(spark: SparkSession, table: str) -> dict[str, str]:
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    return {r["key"]: r["value"] for r in rows}
+
+
+def bucketed_distance_join(
+    spark: SparkSession,
+    left_table: str,
+    right: DataFrame,
+    radius: float,
+    left_id: str,
+    right_id: str,
+    *,
+    right_lon: str = "lon",
+    right_lat: str = "lat",
+    strategy: TieredStrategy = DEFAULT_STRATEGY,
+    max_duplicates: int = 4,
+) -> DataFrame:
+    """Point×point within-distance join whose probe side is a bucketed
+    table written by :func:`write_bucketed_points` — same output row set
+    as ``operators.join.distance_join``, but the probe side scans with
+    ZERO Exchange (the bucketed layout already satisfies the join's
+    required distribution; only the exploded build side shuffles, into
+    the table's bucket count).
+    """
+    props = _table_props(spark, left_table)
+    if _PROP_TIER not in props:
+        raise ValueError(
+            f"{left_table} was not written by write_bucketed_points "
+            f"(missing {_PROP_TIER} property)"
+        )
+    tier = strategy.tier_for_width(2.0 * radius, 2.0 * radius)
+    stored = int(props[_PROP_TIER])
+    if stored != tier:
+        raise ValueError(
+            f"radius {radius} needs tier {tier} cells but {left_table} is "
+            f"bucketed at tier {stored} (written for max radius "
+            f"{props.get(_PROP_RADIUS)}); rewrite the table or use "
+            f"operators.join.distance_join"
+        )
+    probe = spark.table(left_table).select(
+        F.col(left_id).alias("_lid"),
+        F.col("lon").alias("_llon"),
+        F.col("lat").alias("_llat"),
+        "cell",
+    )
+    build = explode_envelope_cells(
+        right.select(
+            F.col(right_id).alias("_rid"),
+            F.col(right_lon).alias("_rlon"),
+            F.col(right_lat).alias("_rlat"),
+        ),
+        F.col("_rlon") - radius,
+        F.col("_rlat") - radius,
+        F.col("_rlon") + radius,
+        F.col("_rlat") + radius,
+        keep=["_rid", "_rlon", "_rlat"],
+        strategy=strategy,
+        max_duplicates=max_duplicates,
+        tier=tier,
+    ).drop("tier")
+    r2 = radius * radius
+    dx = F.col("_llon") - F.col("_rlon")
+    dy = F.col("_llat") - F.col("_rlat")
+    # no shuffle_hash hint here: SHJ and SMJ both satisfy the bucketed
+    # side's distribution without an Exchange, but the hint would pick
+    # the build side by size estimate; let Spark plan it so the bucketed
+    # scan's outputPartitioning is preserved verbatim
+    return (
+        probe.join(build, "cell")
+        .where(dx * dx + dy * dy <= F.lit(r2))
+        .select(F.col("_lid").alias(left_id), F.col("_rid").alias(right_id))
+    )
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of Exchange operators in the analyzed physical plan —
+    the test/audit hook for 'the bucketed side did not shuffle'."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange")
