@@ -231,15 +231,19 @@ def simhash_pairs(
     max_hamming: int = 3,
     text: str = "text",
     id_col: str = "doc_id",
+    blocks_per_key: int = 1,
 ) -> DataFrame:
     """Pairs within Hamming distance ≤ max_hamming of 64-bit SimHash.
 
     Pigeonhole: split the 64-bit signature into (max_hamming+1) chunks; any
     pair within distance d agrees on ≥1 chunk → equi-join per chunk, union,
-    exact popcount verify (bit_count is built-in)."""
+    exact popcount verify (bit_count is built-in).  ``blocks_per_key``
+    raises the banding to multi-index hashing for web-scale corpora —
+    identical row set, candidates ∝ n²/2^(m·width) (see
+    :func:`imagedup.hamming_pairs`)."""
     from geowave_spark.operators.imagedup import hamming_pairs
 
     sig = df.select(
         F.col(id_col).alias("_id"), simhash_udf()(F.col(text)).alias("_sig")
     ).cache()
-    return hamming_pairs(sig, max_hamming)
+    return hamming_pairs(sig, max_hamming, blocks_per_key=blocks_per_key)

@@ -108,35 +108,57 @@ def phash_udf(bytes_col: str = "bytes", fmt_col: str = "fmt"):
     return _ph(F.col(bytes_col), F.col(fmt_col))
 
 
-def hamming_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
+def hamming_pairs(
+    sig: DataFrame, max_hamming: int = 3, blocks_per_key: int = 1
+) -> DataFrame:
     """All id pairs within ``max_hamming`` of their 64-bit signatures.
 
-    ``sig`` must have columns ``_id`` and ``_sig`` (long).  Pigeonhole:
-    split the word into (d+1) chunks; a pair within distance d agrees on
-    ≥1 chunk → equi-join per chunk, dedupe, exact popcount verify — the
-    one shuffle is the chunk-key hash join, candidate work is bounded by
-    bucket sizes, never all-pairs."""
-    chunks = max_hamming + 1
-    width = 64 // chunks
+    ``sig`` must have columns ``_id`` and ``_sig`` (long).  Pigeonhole
+    banding, generalized to multi-index hashing (Manku et al. WWW'07 §3;
+    Norouzi et al., "Fast Search in Hamming Space with Multi-Index
+    Hashing"): split the word into k = d + m blocks; a pair within
+    distance d has errors in at most d blocks, so at least m blocks are
+    clean and the band keyed on exactly those m blocks matches →
+    equi-join per C(k, m) band, dedupe, exact popcount verify.
+
+    ``blocks_per_key`` (m) is the candidate-volume dial: expected
+    spurious candidates scale as C(k,m)·n²/2^(m·width).  m=1 is the
+    plain d+1-chunk scheme (fine at 10^5 rows); at web scale raise m so
+    the band keyspace outgrows n — e.g. d=4, m=2 turns 5 joins on 12-bit
+    keys (n²/4096 candidates) into 15 joins on 20-bit keys (n²/10^6).
+    The output row set is identical for every m (recall is 1.0 by the
+    pigeonhole argument; the popcount verify fixes precision)."""
+    from itertools import combinations
+
+    m = blocks_per_key
+    if m < 1 or max_hamming + m > 64:
+        raise ValueError(f"blocks_per_key {m} out of range for d={max_hamming}")
+    k = max_hamming + m
+    width = 64 // k
     mask = (1 << width) - 1
+
+    def block(b: int):
+        return f"(shiftrightunsigned(_sig, {b * width}) & {mask}L)"
+
+    band_keys = [
+        "(" + " | ".join(f"({block(b)} << {j * width})" for j, b in enumerate(combo)) + ")"
+        for combo in combinations(range(k), m)
+    ]
     exploded = sig.select(
         "_id",
         "_sig",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {chunks - 1}), "
-                f"i -> shiftrightunsigned(_sig, i * {width}) & {mask}L)"
-            )
-        ).alias("chunk", "ckey"),
+        F.posexplode(F.expr("array(" + ", ".join(band_keys) + ")")).alias(
+            "band", "bkey"
+        ),
     )
     a = exploded.select(
-        F.col("_id").alias("id_a"), F.col("_sig").alias("_sa"), "chunk", "ckey"
+        F.col("_id").alias("id_a"), F.col("_sig").alias("_sa"), "band", "bkey"
     )
     b = exploded.select(
-        F.col("_id").alias("id_b"), F.col("_sig").alias("_sb"), "chunk", "ckey"
+        F.col("_id").alias("id_b"), F.col("_sig").alias("_sb"), "band", "bkey"
     )
     return (
-        a.join(b, ["chunk", "ckey"])
+        a.join(b, ["band", "bkey"])
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", F.bit_count(F.expr("_sa ^ _sb")))
@@ -151,11 +173,13 @@ def image_phash_neardup(
     id_col: str = "image_id",
     bytes_col: str = "bytes",
     fmt_col: str = "fmt",
+    blocks_per_key: int = 1,
 ) -> DataFrame:
     """Near-duplicate image pairs by DCT pHash within ``max_hamming`` bits.
 
-    Output: (id_a, id_b, hamming), id_a < id_b lexicographically."""
+    Output: (id_a, id_b, hamming), id_a < id_b lexicographically.
+    Raise ``blocks_per_key`` for large corpora (see :func:`hamming_pairs`)."""
     sig = images.select(
         F.col(id_col).alias("_id"), phash_udf(bytes_col, fmt_col).alias("_sig")
     )
-    return hamming_pairs(sig, max_hamming)
+    return hamming_pairs(sig, max_hamming, blocks_per_key=blocks_per_key)

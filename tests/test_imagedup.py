@@ -112,6 +112,33 @@ class TestPairs:
         assert got == want
         assert len(want) >= 12  # every planted group recovered
 
+    @pytest.mark.parametrize("d,m", [(1, 2), (3, 2), (4, 2), (7, 3)])
+    def test_multi_index_banding_same_row_set(self, spark, d, m):
+        """blocks_per_key > 1 (multi-index hashing) must return the exact
+        m=1 row set — recall 1.0 by the pigeonhole argument, the popcount
+        verify fixes precision.  Covers the web-scale banding mode."""
+        n = 400
+        rng = np.random.default_rng(900 + d)
+        base = rng.integers(0, 2**63, size=n, dtype=np.int64)
+        for k in range(25):
+            flips = rng.integers(0, 64, size=rng.integers(0, d + 1))
+            v = base[k]
+            for f in flips.tolist():
+                v ^= np.int64(np.uint64(1) << np.uint64(f))
+            base[n - 1 - k] = v
+        pdf = pd.DataFrame({"_id": np.arange(n, dtype=np.int64), "_sig": base})
+        df = spark.createDataFrame(pdf)
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in hamming_pairs(df, d, blocks_per_key=m).collect()
+        }
+        want = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in hamming_pairs(df, d).collect()
+        }
+        assert got == want
+        assert len(want) >= 10
+
     @pytest.mark.parametrize("d", [1, 3, 7])
     def test_hamming_pairs_generic_brute(self, spark, d):
         n = 300
