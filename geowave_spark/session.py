@@ -57,6 +57,11 @@ def get_spark(
             "spark.shuffle.sort.bypassMergeThreshold",
             os.environ.get("SPARK_GRAFT_BYPASS_THRESHOLD", "4"),
         )
+        # bucketed tables here are deliberate (sources/bucketing.py: the
+        # persist-indexed-once layout); auto-de-bucketing would silently
+        # drop bucket PRUNING on join-less range scans (measured: the
+        # cell IN (...) filter loses its SelectedBucketsCount skip)
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")

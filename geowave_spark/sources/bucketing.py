@@ -164,3 +164,62 @@ def count_exchanges(df: DataFrame) -> int:
     the test/audit hook for 'the bucketed side did not shuffle'."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return plan.count("Exchange")
+
+
+def bucketed_bbox_scan(
+    spark: SparkSession,
+    table: str,
+    bbox: tuple[float, float, float, float],
+    *,
+    strategy: TieredStrategy = DEFAULT_STRATEGY,
+    max_cells: int = 4096,
+):
+    """Rows of a bucketed table inside ``bbox``, scanning only the
+    buckets that can hold them.
+
+    The bbox covers a bounded set of tier cells; an ``IN`` filter on the
+    bucket column lets Spark's bucket pruning skip every file of the
+    non-matching buckets at PLANNING time (``SelectedBucketsCount: k out
+    of n`` in the scan) — the reference's index range scan re-expressed
+    as catalog metadata, zero data touched outside the window.  The
+    exact lon/lat predicate stays on top (cells cover a superset).
+    Above ``max_cells`` the IN-list stops paying for itself and the scan
+    falls back to the plain pushed-down lon/lat filter (still correct:
+    same predicate, just no bucket skip).
+    """
+    import numpy as np
+
+    from ..sfc.hilbert import xy_to_hilbert
+
+    props = _table_props(spark, table)
+    if _PROP_TIER not in props:
+        raise ValueError(
+            f"{table} was not written by write_bucketed_points "
+            f"(missing {_PROP_TIER} property)"
+        )
+    tier = int(props[_PROP_TIER])
+    minx, miny, maxx, maxy = bbox
+    df = spark.table(table)
+    exact = (
+        (F.col("lon") >= minx)
+        & (F.col("lon") <= maxx)
+        & (F.col("lat") >= miny)
+        & (F.col("lat") <= maxy)
+    )
+    ax = int(strategy.dim_x.to_bins(np.array([minx]), tier)[0])
+    bx = int(strategy.dim_x.to_bins(np.array([maxx]), tier)[0])
+    ay = int(strategy.dim_y.to_bins(np.array([miny]), tier)[0])
+    by = int(strategy.dim_y.to_bins(np.array([maxy]), tier)[0])
+    n_cells = (bx - ax + 1) * (by - ay + 1)
+    if n_cells > max_cells:
+        return df.where(exact)
+    gx, gy = np.meshgrid(np.arange(ax, bx + 1), np.arange(ay, by + 1))
+    cells = (
+        xy_to_hilbert(
+            gx.ravel().astype(np.uint64), gy.ravel().astype(np.uint64), tier
+        )
+        if tier > 0
+        else np.zeros(1, dtype=np.uint64)
+    )
+    in_cells = F.col("cell").isin([int(c) for c in cells.astype(np.int64)])
+    return df.where(in_cells & exact)

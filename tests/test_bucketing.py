@@ -91,3 +91,34 @@ class TestBucketedJoin:
                 bucketed_distance_join(spark, "test_plain_pts", q, RADIUS, "id", "qid")
         finally:
             spark.sql("DROP TABLE IF EXISTS test_plain_pts")
+
+
+class TestBucketedBboxScan:
+    def test_bucket_pruned_scan_parity(self, spark, points, bucketed_table):
+        from geowave_spark.sources.bucketing import bucketed_bbox_scan
+
+        bbox = (-4.0, -3.0, 5.0, 4.0)
+        pruned = bucketed_bbox_scan(spark, bucketed_table, bbox)
+        got = sorted(r["id"] for r in pruned.collect())
+        want = sorted(
+            r["id"]
+            for r in points.where(
+                f"lon >= {bbox[0]} and lon <= {bbox[2]} "
+                f"and lat >= {bbox[1]} and lat <= {bbox[3]}"
+            ).collect()
+        )
+        assert got and got == want
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        # planning-time bucket skip: fewer buckets selected than exist
+        import re
+
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, plan
+        assert int(m.group(1)) < int(m.group(2)), m.group(0)
+
+    def test_wide_bbox_falls_back_to_plain_filter(self, spark, points, bucketed_table):
+        from geowave_spark.sources.bucketing import bucketed_bbox_scan
+
+        bbox = (-30.0, -20.0, 30.0, 20.0)
+        out = bucketed_bbox_scan(spark, bucketed_table, bbox, max_cells=4)
+        assert out.count() == points.count()
