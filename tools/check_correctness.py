@@ -49,7 +49,10 @@ def norm_rows(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    # default to sf0.01: the driver compares there, and six oracle_sql()
+    # entries embed VALUES relations precomputed at sf0.01 — running this
+    # tool at another sf makes exactly those six "fail" as an artifact
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
