@@ -176,3 +176,80 @@ def stateful_cell_counts(
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def stream_pip_join(
+    stream: DataFrame,
+    polygons: DataFrame,
+    polygon_id: str = "region_id",
+    wkt: str = "wkt",
+    keep: tuple[str, ...] = ("event_id", "ts"),
+) -> DataFrame:
+    """Stream-static point-in-geometry join: streaming points × a static
+    geometry table (any WKT kind), zero shuffle.
+
+    The geometry side is collected once at plan time into the same
+    broadcast :class:`LocalGeomGrid` the batch PIP join uses
+    (operators/join.py:_local_grid_polygon_join) and the stream probes it
+    with one stateless ``mapInPandas`` per micro-batch — exactly the
+    plan Structured Streaming wants (no stream-side state, watermarks
+    and windowed aggs compose downstream).  ``keep`` columns pass
+    through, so the output feeds windowed per-region rollups directly.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    from ..geom import LocalGeomGrid, parse_wkt_multi
+
+    spark = stream.sparkSession
+    rows = polygons.select(polygon_id, wkt).collect()
+    grid_bc = spark.sparkContext.broadcast(
+        LocalGeomGrid([r[0] for r in rows], [parse_wkt_multi(r[1]) for r in rows])
+    )
+    # dict.fromkeys dedupes while preserving order — keep may itself
+    # contain lon/lat and a duplicate column name would break the
+    # pandas batches below
+    src = stream.select(*dict.fromkeys([*keep, "lon", "lat"]))
+    out_schema = StructType(
+        [stream.schema[c] for c in keep]
+        + [StructField(polygon_id, polygons.schema[polygon_id].dataType)]
+    )
+
+    def _gen(batches):
+        g = grid_bc.value
+        for pdf in batches:
+            px = pdf["lon"].to_numpy(np.float64)
+            py = pdf["lat"].to_numpy(np.float64)
+            rowrep, codes = g.candidates(px, py)
+            m = (
+                g.intersects(px[rowrep], py[rowrep], codes)
+                if len(rowrep)
+                else np.zeros(0, dtype=bool)
+            )
+            out = {c: pdf[c].to_numpy()[rowrep[m]] for c in keep}
+            out[polygon_id] = g.ids[codes[m]]
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(_gen, out_schema)
+
+
+def windowed_region_counts(
+    stream: DataFrame,
+    polygons: DataFrame,
+    polygon_id: str = "region_id",
+    wkt: str = "wkt",
+    window: str = "10 seconds",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Watermarked per-window per-REGION occupancy counts — the streaming
+    rollup of the PIP join (late points beyond the watermark drop, state
+    is bounded by windows × matched regions)."""
+    hits = stream_pip_join(
+        stream, polygons, polygon_id=polygon_id, wkt=wkt, keep=("ts",)
+    )
+    return (
+        hits.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), polygon_id)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -301,3 +301,75 @@ class TestDeploy:
         assert "geowave_spark/operators/join.py" in names
         assert "geowave_spark/sfc/hilbert.py" in names
         assert all(n.endswith(".py") for n in names)
+
+
+class TestStreamPipJoin:
+    def test_stream_static_pip_matches_batch(self, spark, tmp_path):
+        """Stream-static PIP join over a memory-ish harness: run the rate
+        stream briefly into a sink, then re-check every emitted (event,
+        region) pair against the batch broadcast join on the captured
+        points — identical pair semantics, zero stream-side shuffle."""
+        import time
+
+        from geowave_spark.operators.join import point_in_polygon_join
+        from geowave_spark.sources.fixtures import regions_pdf
+        from geowave_spark.streaming.ingest import (
+            stream_pip_join,
+            synthetic_point_stream,
+        )
+
+        regions = spark.createDataFrame(regions_pdf(300))
+        stream = synthetic_point_stream(spark, rows_per_second=2000)
+        hits = stream_pip_join(
+            stream, regions, keep=("event_id", "ts", "lon", "lat")
+        )
+        assert hits.isStreaming
+        q = (
+            hits.writeStream.format("memory")
+            .queryName("pip_hits")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_pip"))
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                if spark.sql("SELECT count(*) c FROM pip_hits").first()["c"] >= 20:
+                    break
+                time.sleep(1)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+        got_rows = spark.sql(
+            "SELECT DISTINCT event_id, region_id, lon, lat FROM pip_hits"
+        ).collect()
+        assert len(got_rows) >= 20
+        # batch-side truth over the captured points
+        pts = spark.createDataFrame(
+            [(r["event_id"], r["lon"], r["lat"]) for r in got_rows],
+            "event_id long, lon double, lat double",
+        ).distinct()
+        want = {
+            (r["event_id"], r["region_id"])
+            for r in point_in_polygon_join(
+                pts, regions, "event_id", "region_id"
+            ).collect()
+        }
+        got = {(r["event_id"], r["region_id"]) for r in got_rows}
+        # every streamed hit must be a batch hit (the same kernel decides
+        # both, so this is an end-to-end plumbing check, not tautology:
+        # it catches keep-column misalignment / id permutation bugs)
+        assert got <= want
+
+    def test_windowed_region_counts_compiles_streaming(self, spark):
+        from geowave_spark.sources.fixtures import regions_pdf
+        from geowave_spark.streaming.ingest import (
+            synthetic_point_stream,
+            windowed_region_counts,
+        )
+
+        regions = spark.createDataFrame(regions_pdf(50))
+        win = windowed_region_counts(synthetic_point_stream(spark), regions)
+        assert win.isStreaming
+        assert {"win", "region_id", "n"} <= set(win.columns)
