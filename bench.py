@@ -242,11 +242,15 @@ def main():
     # the multi-index banding mode (C(6,2) bands on 20-bit keys): at
     # n=500k it measured 3.6× faster than the plain d+1-chunk scheme
     # (5.1 s vs 18.1 s warm, identical 750k-pair output) because spurious
-    # candidates scale as n²/2^(m·width)
+    # candidates scale as n²/2^(m·width).  n=2M so the workload is
+    # compute-bound at every scaling level (500k was floor-bound: 7.1 s
+    # at local[2] → 4.9 s at local[8]; 2M measured 97/29/12 s at 2/8/32
+    # cores = 0.84 and 0.59 pair efficiencies)
     from geowave_spark.operators.imagedup import hamming_pairs
 
+    PHASH_N = int(os.environ.get("SPARK_GRAFT_BENCH_PHASH", "2000000"))
     sigs = (
-        spark.range(0, IMAGES_N, 1, PARTS)
+        spark.range(0, PHASH_N, 1, PARTS)
         .selectExpr(
             "id as _id",
             "xxhash64(cast(floor(id/4) as long)) ^ "
@@ -258,7 +262,7 @@ def main():
     run(
         "phash_neardup",
         lambda: hamming_pairs(sigs, 4, blocks_per_key=2).count(),
-        rows_in=IMAGES_N,
+        rows_in=PHASH_N,
     )
     sigs.unpersist()
 
