@@ -690,7 +690,11 @@ def q_stats_lineitem(spark, sf_dir):
 
 def q_filter_expression(spark, sf_dir):
     """Filter-expression tree parity (And/Or/Not/Between/IsNull over
-    numeric/text fields — core/store/.../query/filter/expression/*)."""
+    numeric/text fields — core/store/.../query/filter/expression/*) plus
+    the scalar-function surface (ABS / CONCAT / numeric+text casts,
+    GWQLCoreExtensions.java:53-66) in the projection — one driver entry
+    covering both §2.2/§2.8 rows (consolidated r4 to stay inside the
+    50-entry driver cap while the freed slot gates phash_neardup)."""
     o = _t(spark, sf_dir, "orders")
     return o.where(
         (
@@ -698,7 +702,15 @@ def q_filter_expression(spark, sf_dir):
             & (F.col("o_orderpriority") != "5-LOW")
         )
         | (~F.col("o_orderstatus").isin("F", "O") & F.col("o_custkey").isNotNull())
-    ).select("o_orderkey")
+    ).select(
+        "o_orderkey",
+        F.abs(F.col("o_totalprice") - F.lit(3000.0)).alias("abs_price_delta"),
+        F.concat(F.col("o_orderstatus"), F.lit("-"), F.col("o_orderpriority")).alias(
+            "status_priority"
+        ),
+        F.col("o_custkey").cast("string").alias("custkey_text"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_e2"),
+    )
 
 
 def q_temporal_predicates(spark, sf_dir):
@@ -715,15 +727,42 @@ def q_temporal_predicates(spark, sf_dir):
     )
 
 
-def q_scalar_functions(spark, sf_dir):
-    """ABS / CONCAT / numeric+text casts (GWQLCoreExtensions.java:53-66)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.where(F.col("l_linenumber") == 1).select(
-        "l_orderkey",
-        F.abs(F.col("l_discount") - F.lit(0.05)).alias("abs_disc"),
-        F.concat(F.col("l_returnflag"), F.lit("-"), F.col("l_linestatus")).alias("flag_status"),
-        F.col("l_quantity").cast("string").alias("qty_text"),
-        F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 10000).cast("long").alias("unit_price_e4"),
+PHASH_N = 1200  # images in the phash near-dup gate (oracle pinned to it)
+
+
+def q_phash_neardup(spark, sf_dir):
+    """Image near-duplicate detection by 64-bit perceptual hash over the
+    input-hint images table (driver-brief image axis; the reference has
+    no image-dedup operator — LLM-pipeline family, operators/imagedup.py).
+
+    The 100 TB shape, end-to-end in Catalyst: collapse exact duplicates
+    first (groupBy phash — one shuffle, class representative + size),
+    run the multi-index Hamming band join (Norouzi et al. pigeonhole,
+    d=4 / m=2 → 15 bands on 20-bit keys) over DISTINCT signatures only,
+    then join class sizes back.  Value-exact vs the independent
+    brute-force popcount oracle (tools/oracle_values.phash_pair_rows)."""
+    from geowave_spark.operators.imagedup import hamming_pairs
+    from geowave_spark.sources.images import images_table
+
+    ensure_py_files(spark)
+    classes = (
+        images_table(spark, PHASH_N)
+        .groupBy(F.col("phash").alias("_sig"))
+        .agg(F.min("image_id").alias("_id"), F.count(F.lit(1)).alias("cnt"))
+        # the class table is referenced four times downstream (two band-join
+        # sides, two size join-backs); without persist each reference
+        # regenerates + rehashes every image
+        .persist()
+    )
+    pairs = hamming_pairs(
+        classes.select("_id", "_sig"), max_hamming=4, blocks_per_key=2
+    )
+    n_a = classes.select(F.col("_id").alias("id_a"), F.col("cnt").alias("n_a"))
+    n_b = classes.select(F.col("_id").alias("id_b"), F.col("cnt").alias("n_b"))
+    return (
+        pairs.join(n_a, "id_a")
+        .join(n_b, "id_b")
+        .select("id_a", "id_b", "hamming", "n_a", "n_b")
     )
 
 
@@ -1325,7 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_lineitem": q_stats_lineitem,
         "filter_expression": q_filter_expression,
         "temporal_predicates": q_temporal_predicates,
-        "scalar_functions": q_scalar_functions,
+        "phash_neardup": q_phash_neardup,
         "xz_range_query": q_xz_range_query,
         "dbscan_clusters": q_dbscan_clusters,
         "audio_features": q_audio_features,
@@ -1580,7 +1619,12 @@ SELECT count(*) AS cnt, min(lon) AS min_lon, max(lon) AS max_lon,
 FROM c
 """,
         "filter_expression": """
-SELECT o_orderkey FROM orders
+SELECT o_orderkey,
+       abs(o_totalprice - 3000.0) AS abs_price_delta,
+       o_orderstatus || '-' || o_orderpriority AS status_priority,
+       CAST(o_custkey AS VARCHAR) AS custkey_text,
+       CAST(floor(o_totalprice * 100) AS BIGINT) AS price_e2
+FROM orders
 WHERE (o_totalprice BETWEEN 1000.0 AND 50000.0 AND o_orderpriority <> '5-LOW')
    OR (o_orderstatus NOT IN ('F', 'O') AND o_custkey IS NOT NULL)
 """,
@@ -1589,14 +1633,10 @@ SELECT event_type, count(*) AS n, min(ts) AS first_ts FROM events
 WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
 GROUP BY event_type
 """,
-        "scalar_functions": """
-SELECT l_orderkey,
-       abs(l_discount - 0.05) AS abs_disc,
-       l_returnflag || '-' || l_linestatus AS flag_status,
-       CAST(l_quantity AS VARCHAR) AS qty_text,
-       CAST(floor(l_extendedprice / l_quantity * 10000) AS BIGINT) AS unit_price_e4
-FROM lineitem WHERE l_linenumber = 1
-""",
+        "phash_neardup": _ov().values_sql(
+            _ov().phash_pair_rows(PHASH_N, max_hamming=4),
+            "t(id_a, id_b, hamming, n_a, n_b)",
+        ),
         "xz_range_query": f"""
 SELECT p_partkey FROM (
   SELECT p_partkey,

@@ -428,6 +428,76 @@ def h3_rows(sf_dir: str, clon: str, clat: str, res: int = 2) -> list[tuple[int, 
     return sorted((int(a), int(b)) for a, b in zip(vals, counts))
 
 
+def phash_pair_rows(
+    n: int, max_hamming: int = 4
+) -> list[tuple[str, str, int, int, int]]:
+    """(rep_a, rep_b, hamming, n_a, n_b) near-duplicate signature-class
+    pairs over the images synthesis spec (FIXTURES.md F1), via a
+    brute-force O(c²) popcount sweep over the c distinct signatures —
+    the second implementation for the engine's dedupe → banded
+    ``hamming_pairs`` → class-size join pipeline (multi-index pigeonhole
+    has recall 1.0, so brute force over the same signatures is the exact
+    expected row set).
+
+    The signature is the table's spec ``phash`` column (8×8 block-mean
+    luminance vs its median over the raw synthesized pixels), recomputed
+    here step-for-step from the written spec — the same float64
+    expressions, since a last-ulp difference in a block mean that ties
+    the median would flip a bit (measured: 63 of 623k pairs at n=4000
+    under a reassociated luminance sum).  The independence of this
+    oracle is the pairing pipeline, not the arithmetic."""
+    sizes = [16, 32, 64, 256]
+    lum_w = np.array([0.299, 0.587, 0.114])
+    sigs = np.zeros(n, dtype=np.uint64)
+    for i in range(n):
+        w = sizes[i % 4]
+        h = sizes[(i // 4 + i) % 4]
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        base = xx / max(w - 1, 1) * 96 + yy / max(h - 1, 1) * 96
+        k1 = 1 + (i % 7)
+        k2 = 1 + (i % 5)
+        pat = 48 * np.sin(2 * np.pi * k1 * xx / w) * np.cos(2 * np.pi * k2 * yy / h)
+        px = np.stack(
+            [
+                np.clip(base + pat + (i * 37) % 64, 0, 255),
+                np.clip(base + 0.5 * pat + (i * 53) % 64, 0, 255),
+                np.clip(255 - base + (i * 71) % 64, 0, 255),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        g = px.astype(np.float64) @ lum_w
+        ys = np.linspace(0, h, 9).astype(int)
+        xs = np.linspace(0, w, 9).astype(int)
+        blocks = np.array(
+            [
+                [g[ys[p] : ys[p + 1], xs[q] : xs[q + 1]].mean() for q in range(8)]
+                for p in range(8)
+            ]
+        )
+        bits = (blocks > np.median(blocks)).ravel()
+        v = 0
+        for bit in bits:
+            v = (v << 1) | int(bit)
+        sigs[i] = np.uint64(v)
+    uniq, first, counts = np.unique(sigs, return_index=True, return_counts=True)
+    # class representative = smallest image index holding the signature
+    # (np.unique's return_index is the first occurrence = the minimum)
+    x = uniq[:, None] ^ uniq[None, :]
+    ham = np.zeros((len(uniq), len(uniq)), dtype=np.int64)
+    for _ in range(64):
+        ham += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    ia, ib = np.nonzero(np.triu(ham <= max_hamming, k=1))
+    rows = []
+    for a, b in zip(ia.tolist(), ib.tolist()):
+        ra, rb = int(first[a]), int(first[b])
+        na, nb = int(counts[a]), int(counts[b])
+        if rb < ra:
+            ra, rb, na, nb = rb, ra, nb, na
+        rows.append((f"img{ra:010d}", f"img{rb:010d}", int(ham[a, b]), na, nb))
+    return rows
+
+
 def values_sql(rows: list[tuple], cols: str) -> str:
     """Embed rows as a DuckDB VALUES relation: cols like
     "t(id_a, id_b, jaccard)"."""
