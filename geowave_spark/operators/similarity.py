@@ -292,8 +292,13 @@ def sq_topk(
     bc = spark.sparkContext.broadcast((qids, qn, mins, scales))
     keep_n = k * overfetch + (1 if exclude_self else 0)
 
+    # id types follow the inputs (string ids are as valid as longs;
+    # hard-coding LongType here would nullify them in the Arrow batch)
     out_schema = StructType(
-        [StructField("_qid", LongType()), StructField("_nid", LongType())]
+        [
+            StructField("_qid", queries.schema[query_id].dataType),
+            StructField("_nid", corpus.schema[corpus_id].dataType),
+        ]
     )
 
     def _scan(batches):

@@ -448,6 +448,9 @@ def _parse_segments(data: bytes, t: _Tables):
             pos += 1
             continue
         marker = data[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: optional fill byte before a marker
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -513,9 +516,17 @@ def _unstuff(scan: bytes) -> tuple[bytes, list[int]]:
         if i + 1 >= len(arr):
             break
         nxt = arr[i + 1]
+        if i < prev:
+            continue  # already consumed (e.g. the FF of a dropped fill run)
         if nxt == 0x00:
             out += scan[prev : i + 1]  # keep FF, drop stuffed 00
             prev = i + 2
+        elif nxt == 0xFF:
+            # fill byte (T.81 B.1.1.2): entropy FF is always stuffed, so
+            # FF FF can only be padding before a marker — drop the first
+            # FF and let the next iteration classify what follows
+            out += scan[prev:i]
+            prev = i + 1
         elif 0xD0 <= nxt <= 0xD7:  # RSTn
             out += scan[prev:i]
             starts.append(len(out))

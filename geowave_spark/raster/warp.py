@@ -101,8 +101,14 @@ def _block_cells(
             gy = y0 + (py0 + (py1 - py0) * lat) * resy
             xs, ys = np.meshgrid(gx, gy)
             lon, lat2 = transform_np(xs.ravel(), ys.ravel(), out_crs, index_crs)
-            lo_min, lo_max = float(lon.min()), float(lon.max())
-            la_min, la_max = float(lat2.min()), float(lat2.max())
+            # out-of-domain inverse projections (block corners beyond the
+            # CRS's valid region) come back non-finite; one NaN must not
+            # poison the envelope (NaN min/max → block silently skipped)
+            fin = np.isfinite(lon) & np.isfinite(lat2)
+            if not fin.any():
+                continue  # block entirely outside the projection domain
+            lo_min, lo_max = float(lon[fin].min()), float(lon[fin].max())
+            la_min, la_max = float(lat2[fin].min()), float(lat2[fin].max())
             for ppx, ppy, plat in poles:
                 if min(gx) <= ppx <= max(gx) and min(gy) <= ppy <= max(gy):
                     la_min, la_max = min(la_min, plat), max(la_max, plat)

@@ -42,6 +42,8 @@ DEFAULT_STRATEGY = TieredStrategy()
 _PROP_TIER = "geowave.cell.tier"
 _PROP_RADIUS = "geowave.cell.max_radius"
 _PROP_BUCKETS = "geowave.cell.buckets"
+_PROP_LON = "geowave.cell.lon_col"
+_PROP_LAT = "geowave.cell.lat_col"
 
 
 def write_bucketed_points(
@@ -79,7 +81,8 @@ def write_bucketed_points(
     spark.sql(
         f"ALTER TABLE {table} SET TBLPROPERTIES ("
         f"'{_PROP_TIER}'='{tier}', '{_PROP_RADIUS}'='{radius!r}', "
-        f"'{_PROP_BUCKETS}'='{n_buckets}')"
+        f"'{_PROP_BUCKETS}'='{n_buckets}', "
+        f"'{_PROP_LON}'='{lon}', '{_PROP_LAT}'='{lat}')"
     )
     return tier
 
@@ -124,10 +127,13 @@ def bucketed_distance_join(
             f"{props.get(_PROP_RADIUS)}); rewrite the table or use "
             f"operators.join.distance_join"
         )
+    # the writer recorded which columns the cell was derived from —
+    # using anything else here would silently pair ids against the
+    # wrong coordinates (pre-r4 the names were hard-coded "lon"/"lat")
     probe = spark.table(left_table).select(
         F.col(left_id).alias("_lid"),
-        F.col("lon").alias("_llon"),
-        F.col("lat").alias("_llat"),
+        F.col(props.get(_PROP_LON, "lon")).alias("_llon"),
+        F.col(props.get(_PROP_LAT, "lat")).alias("_llat"),
         "cell",
     )
     build = explode_envelope_cells(
@@ -200,11 +206,13 @@ def bucketed_bbox_scan(
     tier = int(props[_PROP_TIER])
     minx, miny, maxx, maxy = bbox
     df = spark.table(table)
+    lon_c = props.get(_PROP_LON, "lon")
+    lat_c = props.get(_PROP_LAT, "lat")
     exact = (
-        (F.col("lon") >= minx)
-        & (F.col("lon") <= maxx)
-        & (F.col("lat") >= miny)
-        & (F.col("lat") <= maxy)
+        (F.col(lon_c) >= minx)
+        & (F.col(lon_c) <= maxx)
+        & (F.col(lat_c) >= miny)
+        & (F.col(lat_c) <= maxy)
     )
     ax = int(strategy.dim_x.to_bins(np.array([minx]), tier)[0])
     bx = int(strategy.dim_x.to_bins(np.array([maxx]), tier)[0])

@@ -184,6 +184,7 @@ def stream_pip_join(
     polygon_id: str = "region_id",
     wkt: str = "wkt",
     keep: tuple[str, ...] = ("event_id", "ts"),
+    broadcast_limit: int = 2_000_000,
 ) -> DataFrame:
     """Stream-static point-in-geometry join: streaming points × a static
     geometry table (any WKT kind), zero shuffle.
@@ -195,6 +196,14 @@ def stream_pip_join(
     plan Structured Streaming wants (no stream-side state, watermarks
     and windowed aggs compose downstream).  ``keep`` columns pass
     through, so the output feeds windowed per-region rollups directly.
+
+    The static side must fit the driver/broadcast — ``broadcast_limit``
+    is a hard guard (counted with a bounded ``limit(n+1)`` probe, never a
+    full count), mirroring the batch join's probe.  Unlike the batch
+    path there is no tiered-shuffle fallback here: a static side above
+    the limit raises with instructions (pre-filter the geometry table to
+    the stream's region of interest, or run the batch join on sink
+    output) rather than silently OOMing the driver at deploy time.
     """
     import numpy as np
     import pandas as pd
@@ -203,6 +212,13 @@ def stream_pip_join(
     from ..geom import LocalGeomGrid, parse_wkt_multi
 
     spark = stream.sparkSession
+    if polygons.limit(broadcast_limit + 1).count() > broadcast_limit:
+        raise ValueError(
+            f"stream_pip_join static side exceeds broadcast_limit="
+            f"{broadcast_limit}; pre-filter the geometry table to the "
+            "stream's region of interest or join on the batch path "
+            "(operators.join) over the ingested sink output"
+        )
     rows = polygons.select(polygon_id, wkt).collect()
     grid_bc = spark.sparkContext.broadcast(
         LocalGeomGrid([r[0] for r in rows], [parse_wkt_multi(r[1]) for r in rows])

@@ -122,3 +122,42 @@ class TestBucketedBboxScan:
         bbox = (-30.0, -20.0, 30.0, 20.0)
         out = bucketed_bbox_scan(spark, bucketed_table, bbox, max_cells=4)
         assert out.count() == points.count()
+
+    def test_custom_coordinate_column_names(self, spark, points):
+        # the writer records which columns the cell came from; the join
+        # and the pruned scan must read THOSE, not assume "lon"/"lat"
+        from geowave_spark.sources.bucketing import bucketed_bbox_scan
+
+        name = "test_bucketed_xy"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        renamed = points.selectExpr("id", "lon as x", "lat as y")
+        write_bucketed_points(renamed, name, RADIUS, n_buckets=8, lon="x", lat="y")
+        try:
+            q = points.where("id % 5 = 0").selectExpr(
+                "id as qid", "lon + 0.3 as lon", "lat - 0.2 as lat"
+            )
+            got = sorted(
+                (r["id"], r["qid"])
+                for r in bucketed_distance_join(
+                    spark, name, q, RADIUS, "id", "qid"
+                ).collect()
+            )
+            want = sorted(
+                (r["id"], r["qid"])
+                for r in distance_join(points, q, RADIUS, "id", "qid").collect()
+            )
+            assert got and got == want
+            bbox = (-5.0, -4.0, 5.0, 4.0)
+            scan = sorted(
+                r["id"] for r in bucketed_bbox_scan(spark, name, bbox).collect()
+            )
+            brute = sorted(
+                r["id"]
+                for r in points.where(
+                    f"lon >= {bbox[0]} and lon <= {bbox[2]} "
+                    f"and lat >= {bbox[1]} and lat <= {bbox[3]}"
+                ).collect()
+            )
+            assert scan == brute
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -58,6 +58,22 @@ class TestRoundTrip:
         px = gen_pixels(9, 48, 48)
         assert encode_jpeg(px, 90) == encode_jpeg(px, 90)
 
+    def test_fill_bytes_before_markers(self):
+        # T.81 B.1.1.2 allows optional 0xFF fill bytes before any marker;
+        # a padded restart (FF FF D0) must not truncate the scan, and a
+        # padded header marker must still parse (r4 review)
+        px = gen_pixels(5, 100, 60)
+        d = encode_jpeg(px, 90, restart_interval=3)
+        want = decode_jpeg(d)
+        sos = d.index(b"\xff\xda")
+        first_rst = d.index(b"\xff\xd0", sos)
+        padded = d[:first_rst] + b"\xff" + d[first_rst:]
+        assert np.array_equal(decode_jpeg(padded), want)
+        # fill byte in the header section, before SOF
+        sof = d.index(b"\xff\xc0")
+        padded_hdr = d[:sof] + b"\xff\xff" + d[sof:]
+        assert np.array_equal(decode_jpeg(padded_hdr), want)
+
     def test_progressive_rejected(self):
         px = gen_pixels(1, 16, 16)
         d = bytearray(encode_jpeg(px, 90))

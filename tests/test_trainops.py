@@ -183,6 +183,24 @@ class TestSimilarity:
         recall = len(got & want) / len(want)
         assert recall >= 0.9
 
+    def test_sq_topk_string_ids(self, spark, emb, emb_pdf):
+        # the candidate schema derives id types from the inputs —
+        # string-keyed corpora must round-trip, not nullify (r4 review)
+        from geowave_spark.operators.similarity import sq_topk
+
+        s = emb.selectExpr("concat('v', vec_id) as vec_id", "embedding")
+        q = s.where(F.col("vec_id").isin("v0", "v7"))
+        rows = sq_topk(q, s, k=3, overfetch=4, exclude_self=True).collect()
+        got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+        assert len(rows) == 6 and all(
+            a.startswith("v") and b.startswith("v") for a, b in got
+        )
+        want = {
+            (f"v{a}", f"v{b}")
+            for a, b, _ in self.oracle_topk(emb_pdf, [0, 7], 3)
+        }
+        assert len(got & want) / len(want) >= 0.9
+
     def test_cosine_neardup(self, spark, emb, emb_pdf):
         got = {(r["id_a"], r["id_b"]) for r in cosine_neardup_pairs(emb, threshold=0.98).collect()}
         X = np.array([v for v in emb_pdf["embedding"]], dtype=np.float64)
