@@ -25,11 +25,17 @@ cluster defaults.
 """
 
 import shutil
+import os
 import sys
 import tempfile
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+# under spark-submit --py-files the package is on the driver path already;
+# under a bare `python examples/...` run, sys.path[0] is examples/ — add
+# the repo root so both launch modes work
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

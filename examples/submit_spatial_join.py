@@ -15,10 +15,14 @@ cluster-wide defaults (executors, shuffle service, dynamic allocation)
 apply untouched.
 """
 
+import os
 import sys
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+# works under spark-submit --py-files AND a bare `python examples/...` run
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
