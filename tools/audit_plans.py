@@ -78,6 +78,7 @@ def main():
         "spatial_crosses_join",    # DE-9IM fine filter over the coarse cell phase
         "tile_assignment",         # zero-shuffle per-image lattice gather
         "minhash_neardup",         # banded LSH bucket equi-join, no all-pairs
+        "phash_neardup",           # dedupe → multi-index band join → size join-back
     ]
     lines = [
         "# PLANS.md — physical-plan audit of headline queries",
@@ -101,7 +102,15 @@ def main():
         lines.append("```")
         lines.append("</details>")
         lines.append("")
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # hand-maintained sections (non-driver-query plans like the bucketed
+    # join, plus design notes) survive regeneration via the appendix
+    appendix = os.path.join(root, "tools", "plans_appendix.md")
+    if os.path.exists(appendix):
+        with open(appendix) as f:
+            content = f.read()
+        lines.append(content.split("\n", 1)[1].lstrip("\n"))  # drop its H1
+    with open(os.path.join(root, "PLANS.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote PLANS.md")
     spark.stop()
