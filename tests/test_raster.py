@@ -25,6 +25,8 @@ from geowave_spark.raster.tiling import (
 )
 from geowave_spark.sfc.tiered import TieredStrategy
 from geowave_spark.sources.images import (
+    _FMTS,
+    _SIZES,
     gen_images_pdf,
     gen_pixels,
     images_table,
@@ -106,6 +108,68 @@ class TestImagesTable:
         assert px.shape == (row["h"], row["w"], 3)
         assert row["phash"] == phash64(gen_pixels(3, row["w"], row["h"]))
         assert row["caption"].startswith("caption of img3 ")
+
+    def test_image_resize_matches_numpy_oracle(self, spark):
+        """Per-image area-mean resize (brief's decode → resize operator):
+        every output pixel equals the brute mean of its source block;
+        captions carry through; enlargement path covered."""
+        from geowave_spark.sources.images import image_resize
+
+        out = {
+            r["image_id"]: r
+            for r in image_resize(images_table(spark, 12), 8, 8).collect()
+        }
+        assert len(out) == 12
+        for i in [0, 5, 11]:
+            row = out[f"img{i:010d}"]
+            assert (row["w"], row["h"], row["fmt"]) == (8, 8, "png")
+            got = decode_image(bytes(row["bytes"]), "png")
+            w0 = _SIZES[i % 4]
+            h0 = _SIZES[(i // 4 + i) % 4]
+            src = decode_image(
+                bytes(
+                    next(
+                        r["bytes"]
+                        for r in images_table(spark, 12).collect()
+                        if r["image_id"] == f"img{i:010d}"
+                    )
+                ),
+                _FMTS[i % 3],
+            ).astype(np.float64)
+            ys = np.round(np.linspace(0, h0, 9)).astype(int)
+            xs = np.round(np.linspace(0, w0, 9)).astype(int)
+            want = np.zeros((8, 8, 3), dtype=np.uint8)
+            for a in range(8):
+                for b in range(8):
+                    want[a, b] = np.clip(
+                        np.round(src[ys[a] : ys[a + 1], xs[b] : xs[b + 1]].mean(axis=(0, 1))),
+                        0,
+                        255,
+                    )
+            assert np.array_equal(got, want), i
+            assert row["caption"].startswith(f"caption of img{i} ")
+        # enlargement: a 16×16 source to 32×32 round-trips the repeat path
+        big = image_resize(images_table(spark, 1), 32, 32).collect()[0]
+        px = decode_image(bytes(big["bytes"]), "png")
+        src0 = decode_image(
+            bytes(images_table(spark, 1).collect()[0]["bytes"]), _FMTS[0]
+        )
+        assert px.shape == (32, 32, 3)
+        assert np.array_equal(px, np.repeat(np.repeat(src0, 2, 0), 2, 1))
+
+    def test_image_features_match_numpy(self, spark):
+        from geowave_spark.sources.images import image_features
+
+        rows = {r["image_id"]: r for r in image_features(images_table(spark, 6)).collect()}
+        src = {r["image_id"]: r for r in images_table(spark, 6).collect()}
+        for iid, row in rows.items():
+            px = decode_image(bytes(src[iid]["bytes"]), src[iid]["fmt"]).astype(np.float64)
+            m = px.mean(axis=(0, 1))
+            lum = px @ np.array([0.299, 0.587, 0.114])
+            assert row["mean_r"] == pytest.approx(m[0])
+            assert row["mean_g"] == pytest.approx(m[1])
+            assert row["mean_b"] == pytest.approx(m[2])
+            assert row["std_lum"] == pytest.approx(lum.std())
 
     def test_geometry_derivation(self, spark):
         df = with_geometry(images_table(spark, 30))
