@@ -120,7 +120,7 @@ class TestImagesTable:
             for r in image_resize(images_table(spark, 12), 8, 8).collect()
         }
         assert len(out) == 12
-        for i in [0, 5, 11]:
+        for i in [0, 4, 5, 11]:  # covers png, jpeg (lossy fixture), bmp
             row = out[f"img{i:010d}"]
             assert (row["w"], row["h"], row["fmt"]) == (8, 8, "png")
             got = decode_image(bytes(row["bytes"]), "png")
