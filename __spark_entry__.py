@@ -729,6 +729,11 @@ def q_temporal_predicates(spark, sf_dir):
 
 PHASH_N = 1200  # images in the phash near-dup gate (oracle pinned to it)
 
+# class tables persisted by earlier q_phash_neardup calls; unpersisted on
+# the next call so repeated driver invocations never accumulate cached
+# blocks in a long-lived session
+_PHASH_CLASS_CACHE: list = []
+
 
 def q_phash_neardup(spark, sf_dir):
     """Image near-duplicate detection by 64-bit perceptual hash over the
@@ -745,6 +750,8 @@ def q_phash_neardup(spark, sf_dir):
     from geowave_spark.sources.images import images_table
 
     ensure_py_files(spark)
+    while _PHASH_CLASS_CACHE:
+        _PHASH_CLASS_CACHE.pop().unpersist()
     classes = (
         images_table(spark, PHASH_N)
         .groupBy(F.col("phash").alias("_sig"))
@@ -754,6 +761,7 @@ def q_phash_neardup(spark, sf_dir):
         # regenerates + rehashes every image
         .persist()
     )
+    _PHASH_CLASS_CACHE.append(classes)
     pairs = hamming_pairs(
         classes.select("_id", "_sig"), max_hamming=4, blocks_per_key=2
     )

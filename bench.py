@@ -223,6 +223,11 @@ def main():
     # parallelism level — the decode kernel is python-bound, so split
     # evenness IS the scaling result; 32m budgets would pack ~5 files per
     # split and leave cores idle at local[32]
+    # the 8m split budget is tile_assignment-specific — save the session's
+    # configured value (get_spark sets 32m) and restore THAT, not Spark's
+    # built-in 128m default, so the sf_* queries below scan at the same
+    # split size every engine session uses
+    saved_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
     tile_imgs = spark.read.parquet(tile_path)
     n_tiles = run(
@@ -230,9 +235,7 @@ def main():
         lambda: tile_images(tile_imgs, tile_size=16).count(),
         rows_in=TILE_IMAGES_N,
     )
-    # the 8m split budget is tile_assignment-specific — restore the
-    # default so the sf_* queries below scan at the intended 128m splits
-    spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", saved_mpb)
     extras["tile_tiles_per_sec"] = round(n_tiles / timings["tile_assignment"], 1)
 
     # image near-dup pairing at corpus scale (pHash signatures; decode is

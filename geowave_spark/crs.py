@@ -74,6 +74,9 @@ _FN_SOUTH = 10000000.0
 _E2N = 2.0 * math.sqrt(_N) / (1.0 + _N)
 
 WEB_MERCATOR_EXTENT = A_WGS84 * math.pi  # 20037508.342789244
+# EPSG:3857's published latitude domain: atan(sinh(π)) — poles are outside
+# the projection; the numpy twin clamps here so no inf is ever computed
+WEB_MERCATOR_MAX_LAT = math.degrees(math.atan(math.sinh(math.pi)))  # 85.05112877980659
 
 _UTM_RE = re.compile(r"^EPSG:32([67])(\d\d)$")
 
@@ -243,9 +246,13 @@ def _forward_np(crs: str, lon: np.ndarray, lat: np.ndarray):
         return kind[1].forward(NUMPY_OPS, lon, lat)
     if kind[0] == "webmerc":
         d2r = math.pi / 180.0
+        # clamp to the projection's domain (|φ| ≤ 85.051129°) so the pole
+        # rows of a 4326 warp grid never feed log(tan(·)) an overflow —
+        # correctness must not ride on IEEE inf propagation
+        lat_c = np.clip(lat, -WEB_MERCATOR_MAX_LAT, WEB_MERCATOR_MAX_LAT)
         return (
             lon * d2r * A_WGS84,
-            np.log(np.tan(math.pi / 4.0 + lat * d2r / 2.0)) * A_WGS84,
+            np.log(np.tan(math.pi / 4.0 + lat_c * d2r / 2.0)) * A_WGS84,
         )
     _, lon0, fn = kind
     phi = np.radians(lat)

@@ -71,18 +71,49 @@ def _area_mean_32(g: np.ndarray) -> np.ndarray:
     return block / area
 
 
+_LUMA = np.array([0.299, 0.587, 0.114])
+
+
+def _luma_grid_32(px: np.ndarray) -> np.ndarray:
+    """Decoded pixels → 32×32 luminance grid (the per-image prefix of the
+    pHash pipeline; everything after this point batches across Arrow)."""
+    if px.ndim == 3:
+        g = px.astype(np.float64) @ _LUMA
+    else:
+        g = px.astype(np.float64)
+    return _area_mean_32(g)
+
+
+def phash_from_grids(grids: np.ndarray) -> np.ndarray:
+    """Batched pHash: (B, 32, 32) luminance grids → (B,) int64 hashes.
+
+    One einsum-shaped DCT over the whole stack (``C @ G @ Cᵀ`` broadcast
+    across B), one row-wise median, one ``np.packbits`` — zero per-image
+    Python after the decode loop.  Bit layout matches
+    :func:`phash_from_pixels`: coefficient i (DC dropped) lands at bit
+    62−i; bit 63 is the always-zero DC slot."""
+    b = len(grids)
+    f = np.matmul(np.matmul(_C32, grids), _C32.T)
+    coeffs = f[:, :8, :8].reshape(b, 64)[:, 1:]  # drop DC
+    med = np.median(coeffs, axis=1, keepdims=True)
+    bits = np.zeros((b, 64), dtype=np.uint8)
+    bits[:, 1:] = coeffs > med
+    be = np.packbits(bits, axis=1).reshape(b, 8).view(">u8").ravel()
+    # value-preserving to native uint64, then bit-reinterpret to signed
+    return be.astype(np.uint64).view(np.int64)
+
+
 def phash_from_pixels(px: np.ndarray) -> int:
     """Classic DCT pHash of one decoded image, as a signed 64-bit int.
 
     Luminance → 32×32 area mean → DCT-II → the 8×8 low-frequency
     corner, DC dropped → each of the remaining 63 coefficients
     thresholded against their median (bit 63 of the packed hash is the
-    always-zero DC slot, keeping the layout a stable 64-bit word)."""
-    if px.ndim == 3:
-        g = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-    else:
-        g = px.astype(np.float64)
-    f = _C32 @ _area_mean_32(g) @ _C32.T
+    always-zero DC slot, keeping the layout a stable 64-bit word).
+
+    Scalar loop kept deliberately independent of :func:`phash_from_grids`
+    so the tests can cross-check the batched path against it."""
+    f = _C32 @ _luma_grid_32(px) @ _C32.T
     low = f[:8, :8].ravel()
     coeffs = low[1:]  # drop DC: overall brightness must not flip bits
     bits = coeffs > np.median(coeffs)
@@ -100,10 +131,14 @@ def phash_udf(bytes_col: str = "bytes", fmt_col: str = "fmt"):
     def _ph(data: pd.Series, fmt: pd.Series) -> pd.Series:
         from geowave_spark.raster.codec import decode_image
 
-        out = np.zeros(len(data), dtype=np.int64)
+        if not len(data):
+            return pd.Series(np.zeros(0, dtype=np.int64))
+        # decode is per-image by nature; every later step (DCT, median,
+        # bit-pack) runs once on the stacked batch
+        grids = np.empty((len(data), 32, 32), dtype=np.float64)
         for k, (raw, f) in enumerate(zip(data, fmt)):
-            out[k] = phash_from_pixels(decode_image(bytes(raw), f))
-        return pd.Series(out)
+            grids[k] = _luma_grid_32(decode_image(bytes(raw), f))
+        return pd.Series(phash_from_grids(grids))
 
     return _ph(F.col(bytes_col), F.col(fmt_col))
 
@@ -127,23 +162,41 @@ def hamming_pairs(
     the band keyspace outgrows n — e.g. d=4, m=2 turns 5 joins on 12-bit
     keys (n²/4096 candidates) into 15 joins on 20-bit keys (n²/10^6).
     The output row set is identical for every m (recall is 1.0 by the
-    pigeonhole argument; the popcount verify fixes precision)."""
+    pigeonhole argument; the popcount verify fixes precision).
+
+    When k = d + m does not divide 64, the leftover high bits are folded
+    into the LAST block (its width is 64 − (k−1)·⌊64/k⌋), so every bit of
+    the signature is covered by exactly one block and band keys stay
+    maximally selective.  k ≥ 2 is required: a single 64-bit block would
+    need a 2⁶⁴−1 mask literal that overflows a Spark long (and a
+    whole-word band is just an exact-match groupBy — use
+    ``dropDuplicates`` for that)."""
     from itertools import combinations
 
     m = blocks_per_key
-    if m < 1 or max_hamming + m > 64:
-        raise ValueError(f"blocks_per_key {m} out of range for d={max_hamming}")
     k = max_hamming + m
+    if m < 1 or k < 2 or k > 64:
+        raise ValueError(
+            f"blocks_per_key {m} out of range for d={max_hamming}: "
+            f"need 1 <= m and 2 <= d+m <= 64"
+        )
     width = 64 // k
-    mask = (1 << width) - 1
+    # per-block bit widths: k-1 equal blocks + a last block absorbing the
+    # remainder, covering all 64 bits
+    widths = [width] * (k - 1) + [64 - (k - 1) * width]
 
     def block(b: int):
+        mask = (1 << widths[b]) - 1
         return f"(shiftrightunsigned(_sig, {b * width}) & {mask}L)"
 
-    band_keys = [
-        "(" + " | ".join(f"({block(b)} << {j * width})" for j, b in enumerate(combo)) + ")"
-        for combo in combinations(range(k), m)
-    ]
+    def band_key(combo):
+        parts, shift = [], 0
+        for b in combo:
+            parts.append(f"({block(b)} << {shift})")
+            shift += widths[b]
+        return "(" + " | ".join(parts) + ")"
+
+    band_keys = [band_key(combo) for combo in combinations(range(k), m)]
     exploded = sig.select(
         "_id",
         "_sig",
@@ -174,12 +227,29 @@ def image_phash_neardup(
     bytes_col: str = "bytes",
     fmt_col: str = "fmt",
     blocks_per_key: int = 1,
+    signature_col: str | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs by DCT pHash within ``max_hamming`` bits.
 
     Output: (id_a, id_b, hamming), id_a < id_b lexicographically.
-    Raise ``blocks_per_key`` for large corpora (see :func:`hamming_pairs`)."""
+    Raise ``blocks_per_key`` for large corpora (see :func:`hamming_pairs`).
+
+    If ``signature_col`` names a pre-materialized 64-bit hash column
+    (the input-hint images table already carries ``phash``), decode is
+    skipped entirely.  Otherwise the signature projection is persisted
+    and materialized BEFORE the band self-join, so the decode+DCT pandas
+    UDF — the expensive stage — evaluates exactly once per image instead
+    of once per join side; the cache holds only (id, 8-byte signature)
+    rows and is dropped with the session (or via
+    ``spark.catalog.clearCache()``)."""
+    if signature_col is not None:
+        sig = images.select(
+            F.col(id_col).alias("_id"),
+            F.col(signature_col).cast("long").alias("_sig"),
+        )
+        return hamming_pairs(sig, max_hamming, blocks_per_key=blocks_per_key)
     sig = images.select(
         F.col(id_col).alias("_id"), phash_udf(bytes_col, fmt_col).alias("_sig")
-    )
+    ).persist()
+    sig.count()  # materialize once: both self-join legs read the cache
     return hamming_pairs(sig, max_hamming, blocks_per_key=blocks_per_key)

@@ -13,8 +13,10 @@ import pandas as pd
 import pytest
 
 from geowave_spark.operators.imagedup import (
+    _luma_grid_32,
     hamming_pairs,
     image_phash_neardup,
+    phash_from_grids,
     phash_from_pixels,
 )
 from geowave_spark.raster.codec import decode_image, encode_image
@@ -102,7 +104,91 @@ class TestPhash:
         assert np.mean(np.array(others) <= 8) < 0.02
 
 
+    def test_batched_matches_scalar(self, images_pdf):
+        """The Arrow-batch path (one stacked DCT + packbits) must be
+        bit-identical to the independent scalar loop for every image."""
+        grids = np.stack(
+            [
+                _luma_grid_32(decode_image(bytes(r.bytes), r.fmt))
+                for r in images_pdf.itertuples()
+            ]
+        )
+        batched = phash_from_grids(grids)
+        scalar = [
+            phash_from_pixels(decode_image(bytes(r.bytes), r.fmt))
+            for r in images_pdf.itertuples()
+        ]
+        assert batched.tolist() == scalar
+
+
 class TestPairs:
+    def test_rejects_single_block(self, spark):
+        """k = d + m < 2 would need a 64-bit band mask (2^64−1 overflows a
+        Spark long literal) — must raise, not fail at expression parse."""
+        df = spark.createDataFrame(pd.DataFrame({"_id": [0, 1], "_sig": [0, 1]}))
+        with pytest.raises(ValueError, match="out of range"):
+            hamming_pairs(df, max_hamming=0, blocks_per_key=1)
+        with pytest.raises(ValueError, match="out of range"):
+            hamming_pairs(df, max_hamming=1, blocks_per_key=0)
+
+    def test_leftover_bits_covered(self, spark):
+        """k=6 (d=4, m=2) doesn't divide 64: the 4 leftover high bits are
+        folded into the last block, so two signatures differing ONLY in
+        bits 60-63 must not collide in every band (they differ in block 5)
+        — and pairs within d over those bits are still found exactly."""
+        base = np.uint64(0x0123456789ABCDEF)
+        sigs = np.array(
+            [
+                base,
+                base ^ np.uint64(0xF) << np.uint64(60),  # 4 high-bit flips: d=4
+                base ^ np.uint64(0x1F) << np.uint64(59),  # 5 flips: outside d=4
+            ],
+            dtype=np.uint64,
+        ).view(np.int64)
+        df = spark.createDataFrame(
+            pd.DataFrame({"_id": np.arange(3, dtype=np.int64), "_sig": sigs})
+        )
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in hamming_pairs(df, 4, blocks_per_key=2).collect()
+        }
+        # (0,1): the 4 folded high bits, found; (1,2): differ in bit 59
+        # only; (0,2): 5 bits apart, correctly excluded
+        assert got == {(0, 1, 4), (1, 2, 1)}
+
+    def test_wrapper_decodes_once(self, spark, images):
+        """The wrapper persists + eagerly materializes the signature
+        projection BEFORE the band self-join, so the join plan reads the
+        cache on BOTH legs — the decode+DCT UDF evaluated exactly once,
+        during the materializing count, never per join side."""
+        result = image_phash_neardup(images, max_hamming=4)
+        plan = result._jdf.queryExecution().executedPlan().toString()
+        # one InMemoryTableScan per self-join leg; any live (non-cached)
+        # UDF evaluation would put an ArrowEvalPython OUTSIDE a cached
+        # relation, i.e. textually before the first InMemoryRelation
+        # ≥2: one per leg (the cached-relation printout nests the images
+        # fixture's own cache scan, so the text count can exceed 2)
+        assert plan.count("InMemoryTableScan") >= 2
+        assert plan.index("ArrowEvalPython") > plan.index("InMemoryRelation")
+        result.sparkSession.catalog.clearCache()
+        images.cache().count()  # re-cache the module fixture for later tests
+
+    def test_signature_col_skips_decode(self, spark, images, images_pdf):
+        """A pre-materialized hash column (input-hint `phash`) must yield
+        the same pairs with zero decode work in the plan."""
+        sigs = {
+            r.image_id: phash_from_pixels(decode_image(bytes(r.bytes), r.fmt))
+            for r in images_pdf.itertuples()
+        }
+        pdf = pd.DataFrame(
+            {"image_id": list(sigs), "phash": np.array(list(sigs.values()), np.int64)}
+        )
+        df = spark.createDataFrame(pdf)
+        result = image_phash_neardup(df, max_hamming=7, signature_col="phash")
+        plan = result._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan
+        got = {(r["id_a"], r["id_b"], r["hamming"]) for r in result.collect()}
+        assert got == oracle_pairs(images_pdf, 7)
     def test_matches_brute_exactly(self, spark, images, images_pdf):
         got = {
             (r["id_a"], r["id_b"], r["hamming"])
