@@ -281,6 +281,44 @@ def q_spatial_distance_join_salted(spark, sf_dir):
     )
 
 
+# bucketed tables already written this session, keyed by (sf tag) — the
+# persist-indexed-once gate writes once and every later call just joins
+_BUCKETED_WRITTEN: set = set()
+
+
+def q_spatial_distance_join_bucketed(spark, sf_dir):
+    """Persist-indexed-once distance join (GeoWaveRDDLoader.loadIndexedRDD
+    / RDDUtils.writeRDDToGeoWave semantics, GeoWaveRDDLoader.java:31-188):
+    the customer points are written ONCE as a cell-bucketed catalog table
+    (bucketBy on the tier cell = the reference's pre-partitioned index
+    splits), and the join scans them with ZERO Exchange — only the small
+    exploded supplier build side shuffles, into the table's bucket count.
+    Same output row set as spatial_distance_join (same SQL oracle); the
+    single-Exchange plan shape is pinned in tests/test_bucketing.py.
+
+    At 100 TB this is the flagship repeat-join design: the indexed corpus
+    never re-shuffles — every query shuffles only its own geometries."""
+    from geowave_spark.sources.bucketing import (
+        bucketed_distance_join,
+        write_bucketed_points,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    table = f"gw_bucketed_cust_{tag}"
+    if table not in _BUCKETED_WRITTEN:
+        write_bucketed_points(
+            _customer_points(spark, sf_dir).select("c_custkey", "lon", "lat"),
+            table,
+            JOIN_RADIUS,
+            n_buckets=16,
+        )
+        _BUCKETED_WRITTEN.add(table)
+    return bucketed_distance_join(
+        spark, table, _supplier_points(spark, sf_dir), JOIN_RADIUS,
+        "c_custkey", "s_suppkey",
+    )
+
+
 HAVERSINE_RADIUS_M = 500_000.0
 
 
@@ -621,16 +659,12 @@ def q_agg_pricing_summary(spark, sf_dir):
     )
 
 
-def q_topk_orders(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .limit(10)
-        .select("o_orderkey", "o_totalprice")
-    )
-
-
 def q_window_top_order_per_cust(spark, sf_dir):
+    """Per-group window top-1 + GWQL global sort/LIMIT in one gate: each
+    customer's best order, globally ranked, top 10 overall (the former
+    standalone topk_orders gate folded in r5 to free a slot for
+    spatial_distance_join_bucketed under the 50-entry driver cap; the
+    TakeOrderedAndProject global top-N is still value-gated here)."""
     from pyspark.sql import Window
 
     o = _t(spark, sf_dir, "orders")
@@ -638,7 +672,9 @@ def q_window_top_order_per_cust(spark, sf_dir):
     return (
         o.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
     )
 
 
@@ -1182,9 +1218,32 @@ def q_text_quality_lang(spark, sf_dir):
 
 
 def q_embedding_topk(spark, sf_dir):
+    """Exact cosine top-k, two tagged execution paths in one gate:
+
+    - ``brute``: one-pass numpy matmul scan with per-batch partial top-k
+      (the float32-bandwidth baseline);
+    - ``sq_exact``: the scalar-quantized path (operators/similarity.py
+      sq_topk) in branch-and-bound mode — int8 code scan keeps every row
+      within 2ε of the batch k-th quantized score (ε = ‖scales‖/min‖x‖
+      bounds the quantization error on the cosine), exact re-rank over
+      the candidate sliver — output provably equals brute top-k, so the
+      same SQL oracle gates both value-exact.  The heuristic-overfetch
+      regime is recall-tested in tests/test_trainops.py."""
+    from geowave_spark.operators.similarity import sq_topk
+
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10)
-    return brute_topk(q, emb, k=5, exclude_self=True).withColumnRenamed("query_id", "vec_id")
+    brute = (
+        brute_topk(q, emb, k=5, exclude_self=True)
+        .withColumnRenamed("query_id", "vec_id")
+        .withColumn("variant", F.lit("brute"))
+    )
+    sq = (
+        sq_topk(q, emb, k=5, exact=True, exclude_self=True)
+        .withColumnRenamed("query_id", "vec_id")
+        .withColumn("variant", F.lit("sq_exact"))
+    )
+    return brute.unionByName(sq)
 
 
 def q_minhash_neardup(spark, sf_dir):
@@ -1362,7 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_temporal_range_query": q_spatial_temporal_range_query,
         "sfc_bin_counts": q_sfc_bin_counts,
         "agg_pricing_summary": q_agg_pricing_summary,
-        "topk_orders": q_topk_orders,
+        "spatial_distance_join_bucketed": q_spatial_distance_join_bucketed,
         "window_top_order_per_cust": q_window_top_order_per_cust,
         "set_except_customers": q_set_except_customers,
         "text_predicates_parts": q_text_predicates_parts,
@@ -1480,6 +1539,7 @@ SELECT p_partkey, s_suppkey FROM d WHERE dx * dx + dy * dy <= {pr2!r}
         "spatial_polygon_polygon_join": polypoly_join,
         "spatial_distance_join": dist_join,
         "spatial_distance_join_salted": dist_join,
+        "spatial_distance_join_bucketed": dist_join,
         "spatial_distance_join_meters": f"""
 WITH c AS ({cust_pts}), s AS ({supp_pts})
 SELECT c.c_custkey, s.s_suppkey FROM c, s
@@ -1559,16 +1619,13 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """,
-        "topk_orders": """
-SELECT o_orderkey, o_totalprice FROM orders
-ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
-""",
         "window_top_order_per_cust": """
-SELECT o_custkey, o_orderkey FROM (
-  SELECT o_custkey, o_orderkey,
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
          row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
   FROM orders) t
 WHERE rn = 1
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
 """,
         "set_except_customers": """
 SELECT DISTINCT o_custkey AS c_custkey FROM orders
@@ -1677,17 +1734,24 @@ SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents GROUP BY text
         "doc_fingerprint": """
 SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents
 """,
+        # both variants are exact top-k (sq_exact is branch-and-bound with
+        # a proven error bound), so the oracle is the same exact ranking
+        # emitted once per tag
         "embedding_topk": """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
 d AS (
   SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
          list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim
-  FROM q, embeddings c WHERE q.vec_id <> c.vec_id)
+  FROM q, embeddings c WHERE q.vec_id <> c.vec_id),
+r AS (
 SELECT vec_id, neighbor_id, rank FROM (
   SELECT vec_id, neighbor_id,
          CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
   FROM d) t
-WHERE rank <= 5
+WHERE rank <= 5)
+SELECT vec_id, neighbor_id, rank, 'brute' AS variant FROM r
+UNION ALL
+SELECT vec_id, neighbor_id, rank, 'sq_exact' AS variant FROM r
 """,
         # quality_scores / language_id oracles are generated to mirror the
         # exact replace/length arithmetic of operators/text.py

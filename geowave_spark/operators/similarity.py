@@ -215,23 +215,28 @@ def quantize_embeddings(
     corpus: DataFrame,
     vec: str = "embedding",
     id_col: str = "vec_id",
-) -> tuple[DataFrame, np.ndarray, np.ndarray]:
+    with_min_norm: bool = False,
+) -> tuple:
     """Scalar-quantize an embedding column to int8 codes (binary).
 
-    Returns (codes_df[id, code binary], mins, scales).  Per-dimension
-    min/max come from one mapInPandas partial pass (2×dim doubles per
-    partition collected, never the vectors), so the stats job is a
-    metadata-sized collect at any corpus size.  Codes are 4× smaller
+    Returns (codes_df[id, code binary], mins, scales) — plus the minimum
+    row L2 norm when ``with_min_norm`` (the denominator of the exact-mode
+    error bound in :func:`sq_topk`, collected in the same stats pass).
+    Per-dimension min/max come from one mapInPandas partial pass (2×dim
+    doubles per partition collected, never the vectors), so the stats job
+    is a metadata-sized collect at any corpus size.  Codes are 4× smaller
     than float32 — the 100 TB scan reads 1 byte/dim instead of 4."""
     out_schema = StructType(
         [
             StructField("mn", ArrayType(DoubleType())),
             StructField("mx", ArrayType(DoubleType())),
+            StructField("min_norm", DoubleType()),
         ]
     )
 
     def _minmax(batches):
         mn = mx = None
+        min_norm = np.inf
         for pdf in batches:
             X = np.array(pdf[vec].tolist(), dtype=np.float64)
             if not len(X):
@@ -239,12 +244,14 @@ def quantize_embeddings(
             bmn, bmx = X.min(axis=0), X.max(axis=0)
             mn = bmn if mn is None else np.minimum(mn, bmn)
             mx = bmx if mx is None else np.maximum(mx, bmx)
+            min_norm = min(min_norm, float(np.linalg.norm(X, axis=1).min()))
         if mn is not None:
-            yield pd.DataFrame({"mn": [mn], "mx": [mx]})
+            yield pd.DataFrame({"mn": [mn], "mx": [mx], "min_norm": [min_norm]})
 
     parts = corpus.select(vec).mapInPandas(_minmax, out_schema).collect()
     mins = np.min([r["mn"] for r in parts], axis=0)
     maxs = np.max([r["mx"] for r in parts], axis=0)
+    min_norm = min(r["min_norm"] for r in parts)
     scales = np.where(maxs > mins, (maxs - mins) / 255.0, 1.0)
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast((mins, scales))
@@ -259,6 +266,8 @@ def quantize_embeddings(
         return pd.Series([c.tobytes() for c in codes])
 
     codes = corpus.select(F.col(id_col).alias("_nid"), _encode(F.col(vec)).alias("_code"))
+    if with_min_norm:
+        return codes, mins, scales, min_norm
     return codes, mins, scales
 
 
@@ -271,6 +280,7 @@ def sq_topk(
     corpus_id: str = "vec_id",
     vec: str = "embedding",
     exclude_self: bool = False,
+    exact: bool = False,
 ) -> DataFrame:
     """Scalar-quantized ANN top-k with exact re-rank.
 
@@ -280,8 +290,26 @@ def sq_topk(
     O(k·overfetch·batches) survivors with exact cosine over the full
     vectors via an equi-join on id — at 100 TB the code scan is 4× less
     bandwidth than float32 brute force and the exact join touches only
-    the candidate sliver."""
-    codes, mins, scales = quantize_embeddings(corpus, vec, corpus_id)
+    the candidate sliver.
+
+    ``exact=True`` replaces the heuristic overfetch with a branch-and-
+    bound candidate rule that makes the output PROVABLY equal to exact
+    brute-force top-k: the quantized cosine differs from the true cosine
+    by at most ε = ‖scales‖₂ / min‖x‖₂ (dequantization error ≤ scale/2
+    per dim ⇒ ‖Δx‖ ≤ ‖scales‖/2; a unit-vector perturbation moves the
+    cosine by ≤ 2‖Δx‖/‖x‖).  If row r is in the true top-k, fewer than k
+    batch rows can have quantized score > q(r) + 2ε (each such row's true
+    score would beat r's), so r's quantized score is ≥ the batch's k-th
+    largest − 2ε — keeping every row at or above that threshold has
+    recall 1.0 by construction, and the exact re-rank fixes precision."""
+    if exact:
+        codes, mins, scales, min_norm = quantize_embeddings(
+            corpus, vec, corpus_id, with_min_norm=True
+        )
+        eps = float(np.linalg.norm(scales)) / max(min_norm, 1e-12)
+    else:
+        codes, mins, scales = quantize_embeddings(corpus, vec, corpus_id)
+        eps = None
     q_rows = queries.select(
         F.col(query_id).alias("_qid"), F.col(vec).cast("array<double>").alias("_qv")
     ).collect()
@@ -290,7 +318,9 @@ def sq_topk(
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
     spark = queries.sparkSession
     bc = spark.sparkContext.broadcast((qids, qn, mins, scales))
-    keep_n = k * overfetch + (1 if exclude_self else 0)
+    self_pad = 1 if exclude_self else 0
+    keep_n = (k + self_pad) if exact else (k * overfetch + self_pad)
+    margin = 2.0 * eps if exact else 0.0
 
     # id types follow the inputs (string ids are as valid as longs;
     # hard-coding LongType here would nullify them in the Arrow batch)
@@ -312,7 +342,7 @@ def sq_topk(
             B = sims.shape[1]
             if B > keep_n:
                 kth = np.partition(sims, B - keep_n, axis=1)[:, B - keep_n]
-                mask = sims >= kth[:, None]
+                mask = sims >= kth[:, None] - margin
             else:
                 mask = np.ones(sims.shape, dtype=bool)
             qi, bi = np.nonzero(mask)

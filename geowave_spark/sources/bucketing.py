@@ -44,6 +44,58 @@ _PROP_RADIUS = "geowave.cell.max_radius"
 _PROP_BUCKETS = "geowave.cell.buckets"
 _PROP_LON = "geowave.cell.lon_col"
 _PROP_LAT = "geowave.cell.lat_col"
+_PROP_STRATEGY = "geowave.cell.strategy"
+_PROP_ATTR = "geowave.attr.column"
+
+
+def strategy_fingerprint(strategy: TieredStrategy) -> str:
+    """Canonical string of every parameter that shapes cell encodings.
+
+    Two strategies with the same tier number but different dimension
+    ranges (or max_bits) produce disjoint cell id spaces; the writer
+    records this fingerprint and the readers verify it, so a
+    differently-parameterized strategy raises instead of silently
+    joining mismatched encodings."""
+    dx, dy = strategy.dim_x, strategy.dim_y
+    return (
+        f"max_bits={strategy.max_bits}"
+        f"|x={dx.min!r},{dx.max!r},{dx.wraps}"
+        f"|y={dy.min!r},{dy.max!r},{dy.wraps}"
+    )
+
+
+def _check_strategy(props: dict, table: str, strategy: TieredStrategy) -> None:
+    want = strategy_fingerprint(strategy)
+    stored = props.get(_PROP_STRATEGY)
+    if stored != want:
+        raise ValueError(
+            f"{table} was bucketed under strategy [{stored}] but the query "
+            f"passed [{want}]; same-tier cells from different strategies "
+            f"are disjoint id spaces — rewrite the table or pass the "
+            f"writer's strategy"
+        )
+
+
+def _clear_stale_location(spark: SparkSession, table: str) -> None:
+    """Make ``mode="overwrite"`` reliable across driver restarts.
+
+    The session catalog is in-memory: after a restart the table is
+    unregistered but its managed location survives in the warehouse dir,
+    and ``saveAsTable`` then fails with LOCATION_ALREADY_EXISTS instead
+    of overwriting.  Drop the registration if present; if the location
+    still exists on a local filesystem, remove it.  (On a shared
+    metastore + object store the catalog outlives the driver and the
+    normal overwrite path handles this — the fallback is for
+    local/in-memory catalogs.)"""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    if wh.startswith("file:"):
+        import shutil
+        from urllib.parse import urlparse
+
+        path = urlparse(wh).path
+        loc = f"{path}/{table.split('.')[-1].lower()}"
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 def write_bucketed_points(
@@ -68,6 +120,8 @@ def write_bucketed_points(
     """
     spark = df.sparkSession
     tier = strategy.tier_for_width(2.0 * radius, 2.0 * radius)
+    if mode == "overwrite":
+        _clear_stale_location(spark, table)
     enc = df.withColumn(
         "cell", point_cell_at_tier_udf(strategy, tier)(F.col(lon), F.col(lat))
     )
@@ -82,7 +136,8 @@ def write_bucketed_points(
         f"ALTER TABLE {table} SET TBLPROPERTIES ("
         f"'{_PROP_TIER}'='{tier}', '{_PROP_RADIUS}'='{radius!r}', "
         f"'{_PROP_BUCKETS}'='{n_buckets}', "
-        f"'{_PROP_LON}'='{lon}', '{_PROP_LAT}'='{lat}')"
+        f"'{_PROP_LON}'='{lon}', '{_PROP_LAT}'='{lat}', "
+        f"'{_PROP_STRATEGY}'='{strategy_fingerprint(strategy)}')"
     )
     return tier
 
@@ -118,6 +173,7 @@ def bucketed_distance_join(
             f"{left_table} was not written by write_bucketed_points "
             f"(missing {_PROP_TIER} property)"
         )
+    _check_strategy(props, left_table, strategy)
     tier = strategy.tier_for_width(2.0 * radius, 2.0 * radius)
     stored = int(props[_PROP_TIER])
     if stored != tier:
@@ -203,6 +259,7 @@ def bucketed_bbox_scan(
             f"{table} was not written by write_bucketed_points "
             f"(missing {_PROP_TIER} property)"
         )
+    _check_strategy(props, table, strategy)
     tier = int(props[_PROP_TIER])
     minx, miny, maxx, maxy = bbox
     df = spark.table(table)
@@ -231,3 +288,83 @@ def bucketed_bbox_scan(
     )
     in_cells = F.col("cell").isin([int(c) for c in cells.astype(np.int64)])
     return df.where(in_cells & exact)
+
+
+# ---------------------------------------------------------------------------
+# attribute (secondary) index — AttributeIndexImpl semantics
+# ---------------------------------------------------------------------------
+
+
+def write_attribute_index(
+    df: DataFrame,
+    table: str,
+    column: str,
+    *,
+    n_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` bucketed + sorted by a non-geometry field — the
+    analog of the reference's secondary attribute index
+    (core/store/.../index/attribute/AttributeIndexImpl.java: a second
+    physical ordering of the same rows, keyed by one attribute).
+
+    The Spark-native layout gives both index behaviors for free:
+
+    * equality / IN on ``column`` prunes whole buckets at PLANNING time
+      (``SelectedBucketsCount: k out of n`` in the scan) — only 1/n of
+      the files are even opened;
+    * ``sortBy(column)`` clusters values inside each bucket file, so a
+      RANGE predicate prunes at the parquet row-group level via the
+      pushed-down min/max stats (the sort makes group stats tight).
+
+    The indexed column is recorded in table properties and verified at
+    scan time, mirroring :func:`write_bucketed_points`."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        _clear_stale_location(spark, table)
+    (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, column)
+        .sortBy(column)
+        .saveAsTable(table)
+    )
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES ("
+        f"'{_PROP_ATTR}'='{column}', '{_PROP_BUCKETS}'='{n_buckets}')"
+    )
+
+
+def attribute_index_scan(
+    spark: SparkSession,
+    table: str,
+    *,
+    equals=None,
+    values=None,
+    between: tuple | None = None,
+) -> DataFrame:
+    """Rows of an attribute-indexed table matching an equality, IN, or
+    range predicate on the indexed column.
+
+    Exactly one of ``equals`` / ``values`` / ``between`` must be given.
+    Equality and IN compile to a planning-time bucket prune; a range
+    rides the sorted layout's row-group statistics (still a pushed-down
+    scan filter, no bucket skip — bucket hashing doesn't preserve
+    order)."""
+    props = _table_props(spark, table)
+    if _PROP_ATTR not in props:
+        raise ValueError(
+            f"{table} was not written by write_attribute_index "
+            f"(missing {_PROP_ATTR} property)"
+        )
+    col = props[_PROP_ATTR]
+    given = [v for v in (equals, values, between) if v is not None]
+    if len(given) != 1:
+        raise ValueError("pass exactly one of equals=, values=, between=")
+    df = spark.table(table)
+    if equals is not None:
+        return df.where(F.col(col) == F.lit(equals))
+    if values is not None:
+        return df.where(F.col(col).isin(list(values)))
+    lo, hi = between
+    return df.where((F.col(col) >= lo) & (F.col(col) <= hi))

@@ -92,6 +92,31 @@ class TestBucketedJoin:
         finally:
             spark.sql("DROP TABLE IF EXISTS test_plain_pts")
 
+    def test_strategy_fingerprint_mismatch_raises(self, spark, points, bucketed_table):
+        """A differently-parameterized strategy can yield the SAME tier
+        number while producing disjoint cell encodings — the recorded
+        fingerprint must catch it, not return an empty join (r4 review)."""
+        from geowave_spark.sfc.dimensions import Dimension
+        from geowave_spark.sfc.tiered import TieredStrategy
+
+        other = TieredStrategy(
+            dim_x=Dimension(-60.0, 60.0, wraps=True),
+            dim_y=Dimension(-40.0, 40.0),
+        )
+        # same radius → possibly same tier under the shrunken ranges is
+        # irrelevant: the fingerprint check fires before the tier check
+        q = points.where("id % 50 = 0").selectExpr("id as qid", "lon", "lat")
+        with pytest.raises(ValueError, match="strategy"):
+            bucketed_distance_join(
+                spark, bucketed_table, q, RADIUS, "id", "qid", strategy=other
+            )
+        from geowave_spark.sources.bucketing import bucketed_bbox_scan
+
+        with pytest.raises(ValueError, match="strategy"):
+            bucketed_bbox_scan(
+                spark, bucketed_table, (-4.0, -3.0, 5.0, 4.0), strategy=other
+            )
+
 
 class TestBucketedBboxScan:
     def test_bucket_pruned_scan_parity(self, spark, points, bucketed_table):
@@ -161,3 +186,82 @@ class TestBucketedBboxScan:
             assert scan == brute
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+class TestAttributeIndex:
+    """Secondary (non-geometry) attribute index — AttributeIndexImpl
+    semantics re-expressed as a bucketed+sorted table."""
+
+    @pytest.fixture(scope="class")
+    def attr_table(self, spark, points):
+        from geowave_spark.sources.bucketing import write_attribute_index
+
+        name = "test_attr_idx"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        tagged = points.selectExpr("id", "lon", "lat", "id % 37 as category")
+        write_attribute_index(tagged, name, "category", n_buckets=16)
+        yield name, tagged
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    def test_equality_prunes_buckets_and_matches(self, spark, attr_table):
+        import re
+
+        from geowave_spark.sources.bucketing import attribute_index_scan
+
+        name, tagged = attr_table
+        scan = attribute_index_scan(spark, name, equals=11)
+        got = sorted(r["id"] for r in scan.collect())
+        want = sorted(r["id"] for r in tagged.where("category = 11").collect())
+        assert got and got == want
+        plan = scan._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, plan
+        assert int(m.group(1)) < int(m.group(2)), m.group(0)
+
+    def test_in_list_prunes_buckets_and_matches(self, spark, attr_table):
+        import re
+
+        from geowave_spark.sources.bucketing import attribute_index_scan
+
+        name, tagged = attr_table
+        scan = attribute_index_scan(spark, name, values=[3, 19, 30])
+        got = sorted(r["id"] for r in scan.collect())
+        want = sorted(
+            r["id"] for r in tagged.where("category in (3, 19, 30)").collect()
+        )
+        assert got and got == want
+        m = re.search(
+            r"SelectedBucketsCount: (\d+) out of (\d+)",
+            scan._jdf.queryExecution().executedPlan().toString(),
+        )
+        assert m and int(m.group(1)) < int(m.group(2))
+
+    def test_range_scan_matches_and_pushes_filter(self, spark, attr_table):
+        from geowave_spark.sources.bucketing import attribute_index_scan
+
+        name, tagged = attr_table
+        scan = attribute_index_scan(spark, name, between=(5, 9))
+        got = sorted(r["id"] for r in scan.collect())
+        want = sorted(
+            r["id"] for r in tagged.where("category between 5 and 9").collect()
+        )
+        assert got and got == want
+        plan = scan._jdf.queryExecution().executedPlan().toString()
+        # the range predicate must reach the parquet scan (row-group
+        # pruning rides the sorted layout's min/max stats)
+        assert "PushedFilters: [" in plan and "GreaterThanOrEqual(category,5)" in plan
+
+    def test_guards(self, spark, points, attr_table):
+        from geowave_spark.sources.bucketing import attribute_index_scan
+
+        name, _ = attr_table
+        with pytest.raises(ValueError, match="exactly one"):
+            attribute_index_scan(spark, name, equals=1, between=(0, 2))
+        with pytest.raises(ValueError, match="exactly one"):
+            attribute_index_scan(spark, name)
+        points.limit(5).write.mode("overwrite").saveAsTable("test_plain_attr")
+        try:
+            with pytest.raises(ValueError, match="write_attribute_index"):
+                attribute_index_scan(spark, "test_plain_attr", equals=1)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS test_plain_attr")

@@ -183,6 +183,27 @@ class TestSimilarity:
         recall = len(got & want) / len(want)
         assert recall >= 0.9
 
+    def test_sq_topk_exact_mode_matches_brute(self, spark, emb, emb_pdf):
+        """exact=True is branch-and-bound: the quantized prefilter keeps
+        every row within 2ε of the batch k-th score, so the re-ranked
+        output must equal exact brute-force top-k INCLUDING ranks —
+        recall 1.0 by construction, not by overfetch luck."""
+        from geowave_spark.operators.similarity import sq_topk
+
+        q = emb.where(F.col("vec_id") < 20)
+        got = {
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in sq_topk(q, emb, k=3, exact=True, exclude_self=True).collect()
+        }
+        assert got == self.oracle_topk(emb_pdf, range(20), 3)
+
+    def test_quantize_min_norm_stat(self, spark, emb, emb_pdf):
+        from geowave_spark.operators.similarity import quantize_embeddings
+
+        _, _, _, min_norm = quantize_embeddings(emb, with_min_norm=True)
+        X = np.array([v for v in emb_pdf["embedding"]], dtype=np.float64)
+        assert np.isclose(min_norm, np.linalg.norm(X, axis=1).min())
+
     def test_sq_topk_string_ids(self, spark, emb, emb_pdf):
         # the candidate schema derives id types from the inputs —
         # string-keyed corpora must round-trip, not nullify (r4 review)
