@@ -33,9 +33,12 @@ the two paths agree to the last IEEE bit wherever the engines' libm
 agree.
 
 Datum handling: GRS80 vs WGS84 ellipsoids are honored exactly (their
-flattenings differ); datum *shifts* (towgs84) are identity, matching the
-reference's geotools ``lenient=true`` transforms for the
-ETRS89/RGF93/NAD83 ≈ WGS84 family (cm-level, far under pixel size).
+flattenings differ).  All-zero ``towgs84`` stays the identity fast path,
+matching the reference's geotools ``lenient=true`` transforms for the
+ETRS89/RGF93/NAD83 ≈ WGS84 family (cm-level, far under pixel size);
+non-zero 3/7-parameter shifts (NAD27/ED50-class datums) run the full
+Helmert position-vector transform (EPSG method 9606, geog2D domain —
+r5, :class:`HelmertShift`) through the same dual Catalyst/numpy shim.
 
 Iterative inverses are fix-count unrolled (5 rounds) so the Catalyst
 expression tree is static; each round contracts the error by ~e²/2
@@ -539,6 +542,160 @@ class TransverseMercatorGeneric(_Proj):
 
 
 # --------------------------------------------------------------------------
+# Helmert datum shift (EPSG method 9606, geog2D domain)
+# --------------------------------------------------------------------------
+
+_A_WGS84 = 6378137.0
+_E2_WGS84 = (1.0 / 298.257223563) * (2.0 - 1.0 / 298.257223563)
+
+
+def _geodetic_to_xyz(o, lam, phi, a: float, e2: float):
+    """Geodetic (rad, h=0) → geocentric XYZ — EPSG GN7-2 §4.1.1.
+
+    h=0 on input and h dropped on output is exactly the published
+    "geog2D domain" variant of the coordinate-frame/position-vector
+    methods (EPSG 9606/9607): the ellipsoidal height never carries
+    survey meaning in a 2D CRS pipeline."""
+    sphi = o.sin(phi)
+    nu = a / o.sqrt(1.0 - e2 * sphi * sphi)
+    cphi = o.cos(phi)
+    return nu * cphi * o.cos(lam), nu * cphi * o.sin(lam), nu * (1.0 - e2) * sphi
+
+
+def _xyz_to_geodetic(o, x, y, z, a: float, e2: float):
+    """Geocentric XYZ → geodetic (rad): Bowring's closed-form first
+    approximation + two fixed-point correction rounds.
+
+    Bowring alone is ~5e-9 rad for surface points; each correction
+    contracts by ~e² ≈ 0.0067 → < 1e-12 rad after two.  The round count
+    is kept at two ON PURPOSE: every round duplicates the upstream
+    expression subtree in the Catalyst backend (φ appears twice per
+    round), so a long unroll multiplies the plan size exponentially —
+    Bowring's good start is what keeps the column expression tractable
+    when the upstream x/y/z are themselves full Helmert trees."""
+    lam = o.atan2(y, x)
+    p = o.sqrt(x * x + y * y)
+    b = a * math.sqrt(1.0 - e2)  # semi-minor
+    ep2 = e2 / (1.0 - e2)
+    th = o.atan2(z * a, p * b)
+    sth, cth = o.sin(th), o.cos(th)
+    phi = o.atan2(z + ep2 * b * sth * sth * sth, p - e2 * a * cth * cth * cth)
+    for _ in range(2):
+        sphi = o.sin(phi)
+        nu = a / o.sqrt(1.0 - e2 * sphi * sphi)
+        phi = o.atan2(z + e2 * nu * sphi, p)
+    return lam, phi
+
+
+class HelmertShift:
+    """7-parameter Helmert transform, position-vector rotation
+    convention — EPSG method 9606 (proj's ``+towgs84`` semantics):
+
+        X_wgs84 = T + (1 + ds·10⁻⁶) · M · X_local,
+        M = [[1, −rz, ry], [rz, 1, −rx], [−ry, rx, 1]]
+
+    with translations in meters, rotations in arcseconds (converted
+    here), scale in ppm — all as published by EPSG for the given datum
+    pair.  The reverse direction inverts the EXACT 3×3 linearized matrix
+    (computed once at parse time in plain floats), so forward∘inverse is
+    the identity to float round-off rather than the sign-flip
+    approximation's O(rot²) residual.
+
+    The reference inherits this behavior from geotools' datum machinery
+    (GeoWaveRasterReader.java:492-744 via CRS.decode / lenient
+    transforms); here it is the same published math as the rest of this
+    module, evaluated through the dual Catalyst/numpy ops shim."""
+
+    def __init__(self, params: tuple, a_local: float, f_local: float):
+        if len(params) == 3:
+            dx, dy, dz = params
+            rx = ry = rz = ds = 0.0
+        elif len(params) == 7:
+            dx, dy, dz, rx, ry, rz, ds = params
+        else:
+            raise ValueError(
+                f"towgs84 needs 3 or 7 comma-separated values, got {len(params)}"
+            )
+        as2r = math.pi / (180.0 * 3600.0)  # arcsec → rad
+        rx, ry, rz = rx * as2r, ry * as2r, rz * as2r
+        self.t = (float(dx), float(dy), float(dz))
+        self.s = 1.0 + float(ds) * 1e-6
+        self.m = (
+            (1.0, -rz, ry),
+            (rz, 1.0, -rx),
+            (-ry, rx, 1.0),
+        )
+        # exact inverse of the linearized matrix (adjugate / det)
+        m = self.m
+        det = (
+            m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+            - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+            + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0])
+        )
+        self.minv = tuple(
+            tuple(
+                (
+                    m[(j + 1) % 3][(i + 1) % 3] * m[(j + 2) % 3][(i + 2) % 3]
+                    - m[(j + 1) % 3][(i + 2) % 3] * m[(j + 2) % 3][(i + 1) % 3]
+                )
+                / det
+                for j in range(3)
+            )
+            for i in range(3)
+        )
+        self.a_local, self.f_local = a_local, f_local
+        self.e2_local = f_local * (2.0 - f_local)
+        self.params = tuple(float(v) for v in params)
+
+    def _apply(self, mat, scale, t, x, y, z):
+        return (
+            t[0] + scale * (mat[0][0] * x + mat[0][1] * y + mat[0][2] * z),
+            t[1] + scale * (mat[1][0] * x + mat[1][1] * y + mat[1][2] * z),
+            t[2] + scale * (mat[2][0] * x + mat[2][1] * y + mat[2][2] * z),
+        )
+
+    def local_to_wgs84(self, o, lam, phi):
+        """Geodetic on the local datum (rad) → geodetic WGS84 (rad)."""
+        x, y, z = _geodetic_to_xyz(o, lam, phi, self.a_local, self.e2_local)
+        xw, yw, zw = self._apply(self.m, self.s, self.t, x, y, z)
+        return _xyz_to_geodetic(o, xw, yw, zw, _A_WGS84, _E2_WGS84)
+
+    def wgs84_to_local(self, o, lam, phi):
+        """Geodetic WGS84 (rad) → geodetic on the local datum (rad)."""
+        x, y, z = _geodetic_to_xyz(o, lam, phi, _A_WGS84, _E2_WGS84)
+        xs = (x - self.t[0]) / self.s
+        ys = (y - self.t[1]) / self.s
+        zs = (z - self.t[2]) / self.s
+        xl, yl, zl = self._apply(self.minv, 1.0, (0.0, 0.0, 0.0), xs, ys, zs)
+        return _xyz_to_geodetic(o, xl, yl, zl, self.a_local, self.e2_local)
+
+
+class DatumShifted:
+    """A projection whose geodetic datum differs from WGS84: the engine's
+    lon/lat (index CRS EPSG:4326 = WGS84) pass through the Helmert shift
+    before/after the base projection's own formulas, so NAD27/ED50-class
+    codes transform correctly instead of inheriting the ≈identity that is
+    only valid for the ETRS89/NAD83 family."""
+
+    def __init__(self, base: _Proj, shift: HelmertShift):
+        self.base = base
+        self.shift = shift
+        # mirror the attributes resolve()/crs.py consult on projections
+        self.a, self.f = base.a, base.f
+        self.lon0, self.fe, self.fn = base.lon0, base.fe, base.fn
+        self.name = base.name
+
+    def forward(self, o, lon_deg, lat_deg):
+        lam, phi = self.shift.wgs84_to_local(o, lon_deg * D2R, lat_deg * D2R)
+        return self.base.forward(o, lam * R2D, phi * R2D)
+
+    def inverse(self, o, x, y):
+        lon_l, lat_l = self.base.inverse(o, x, y)
+        lam, phi = self.shift.local_to_wgs84(o, lon_l * D2R, lat_l * D2R)
+        return lam * R2D, phi * R2D
+
+
+# --------------------------------------------------------------------------
 # proj-string parsing + EPSG registry
 # --------------------------------------------------------------------------
 
@@ -549,10 +706,11 @@ def parse_proj_string(text: str, name: str = "") -> _Proj:
     """Build a projection from a proj-style parameter string.
 
     Supported: ``+proj=lcc|aea|laea|merc|tmerc|longlat`` with
-    ``lat_0/lat_1/lat_2/lon_0/k_0(k)/x_0/y_0/lat_ts`` and ellipsoid
-    params (``ellps/a/b/rf/f/R``).  Raises on non-meter units and on
-    non-zero ``towgs84`` shifts (datum shift ≠ identity is out of scope,
-    like the engine's other transforms)."""
+    ``lat_0/lat_1/lat_2/lon_0/k_0(k)/x_0/y_0/lat_ts``, ellipsoid params
+    (``ellps/a/b/rf/f/R``), and 3/7-value ``+towgs84`` Helmert datum
+    shifts (position-vector convention, EPSG method 9606 — r5; all-zero
+    shifts stay the identity fast path).  Raises on non-meter units and
+    malformed towgs84 arities."""
     params: dict[str, str] = {}
     for m in _PROJ_KV.finditer(text):
         params[m.group(1)] = m.group(2) if m.group(2) is not None else ""
@@ -563,8 +721,15 @@ def parse_proj_string(text: str, name: str = "") -> _Proj:
     if proj != "longlat" and units != "m":
         raise ValueError(f"unsupported units {units!r} (meters only)")
     tw = params.get("towgs84")
-    if tw and any(abs(float(v)) > 1e-9 for v in tw.split(",")):
-        raise ValueError("non-zero towgs84 datum shift unsupported")
+    shift_vals: tuple = ()
+    if tw:
+        vals = tuple(float(v) for v in tw.split(","))
+        if len(vals) not in (3, 7):
+            raise ValueError(
+                f"towgs84 needs 3 or 7 comma-separated values, got {len(vals)}"
+            )
+        if any(abs(v) > 1e-9 for v in vals):
+            shift_vals = vals
     pm = params.get("pm", "greenwich")
     if pm not in ("greenwich", "0"):
         raise ValueError(
@@ -589,32 +754,39 @@ def parse_proj_string(text: str, name: str = "") -> _Proj:
     if proj == "lcc":
         lat1 = ang("lat_1", params.get("lat_0", 0.0))
         lat2 = ang("lat_2", params.get("lat_1", params.get("lat_0", 0.0)))
-        return LambertConformal(a, f, lat0, lat1, lat2, lon0, fe, fn, k0, name)
-    if proj == "aea":
+        base = LambertConformal(a, f, lat0, lat1, lat2, lon0, fe, fn, k0, name)
+    elif proj == "aea":
         lat1 = ang("lat_1")
         lat2 = ang("lat_2", params.get("lat_1", 0.0))
-        return AlbersEqualArea(a, f, lat0, lat1, lat2, lon0, fe, fn, name)
-    if proj == "laea":
-        return LambertAzimuthalEqualArea(a, f, lat0, lon0, fe, fn, name)
-    if proj == "merc":
+        base = AlbersEqualArea(a, f, lat0, lat1, lat2, lon0, fe, fn, name)
+    elif proj == "laea":
+        base = LambertAzimuthalEqualArea(a, f, lat0, lon0, fe, fn, name)
+    elif proj == "merc":
         lat_ts = ang("lat_ts") if "lat_ts" in params else None
-        return MercatorEllipsoidal(a, f, lon0, fe, fn, k0, lat_ts, name)
-    if proj == "tmerc":
-        return TransverseMercatorGeneric(a, f, lat0, lon0, fe, fn, k0, name)
-    if proj == "longlat":
+        base = MercatorEllipsoidal(a, f, lon0, fe, fn, k0, lat_ts, name)
+    elif proj == "tmerc":
+        base = TransverseMercatorGeneric(a, f, lat0, lon0, fe, fn, k0, name)
+    elif proj == "longlat":
         if lon0 != 0.0 or fe != 0.0 or fn != 0.0:
             raise ValueError("+proj=longlat with lon_0/x_0/y_0 unsupported")
-        return GeographicLonLat(a, f, 0.0, 0.0, 0.0, name)
-    if proj == "stere":
+        base = GeographicLonLat(a, f, 0.0, 0.0, 0.0, name)
+    elif proj == "stere":
         if abs(abs(lat0) - math.pi / 2.0) > 1e-12:
             raise ValueError(
                 "only polar-aspect stereographic supported (lat_0=±90)"
             )
         lat_ts = ang("lat_ts") if "lat_ts" in params else None
-        return PolarStereographic(
+        base = PolarStereographic(
             a, f, lon0, fe, fn, south=lat0 < 0, k0=k0, lat_ts=lat_ts, name=name
         )
-    raise ValueError(f"unsupported +proj={proj!r}")
+    else:
+        raise ValueError(f"unsupported +proj={proj!r}")
+    if shift_vals:
+        # the shift's local ellipsoid is the proj string's own (a, f):
+        # geodetic coordinates on that datum convert through it, while the
+        # WGS84 leg always uses the WGS84 constants
+        return DatumShifted(base, HelmertShift(shift_vals, a, f))
+    return base
 
 
 # EPSG registry: code → (proj string, area-of-use lon/lat bbox).
@@ -661,6 +833,14 @@ EPSG_REGISTRY: dict[str, tuple[str, tuple[float, float, float, float]]] = {
         " +ellps=WGS84 +units=m",
         (-180.0, -90.0, 180.0, -60.0),
     ),
+    # ED50 / UTM zone 32N — a genuinely shifted datum (International 1924
+    # ellipsoid; towgs84 is EPSG transformation 1133, "ED50 to WGS 84 (1)",
+    # the pan-European mean: dX=-87, dY=-98, dZ=-121 m)
+    "EPSG:23032": (
+        "+proj=tmerc +lat_0=0 +lon_0=9 +k_0=0.9996 +x_0=500000 +y_0=0"
+        " +ellps=intl +towgs84=-87,-98,-121 +units=m",
+        (6.0, 38.0, 12.0, 72.0),
+    ),
     # Universal Polar Stereographic north / south (variant A, k₀=0.994)
     "EPSG:5041": (
         "+proj=stere +lat_0=90 +lon_0=0 +k_0=0.994 +x_0=2000000"
@@ -689,21 +869,25 @@ def resolve(crs: str) -> tuple[_Proj, tuple[float, float, float, float]] | None:
         # origin (every projection stores lat0 in radians; Mercator's
         # natural origin is the equator).  Polar aspects get the full
         # longitude circle down to a 45° ring — a lon window around the
-        # pole is meaningless and would truncate the cap's extent
-        if isinstance(proj, GeographicLonLat):
+        # pole is meaningless and would truncate the cap's extent.
+        # Datum-shifted projections take their window from the base
+        # projection (a Helmert shift moves points by < 1 km — noise at
+        # working-area granularity)
+        area_proj = getattr(proj, "base", proj)
+        if isinstance(area_proj, GeographicLonLat):
             return proj, (-180.0, -90.0, 180.0, 90.0)
-        if isinstance(proj, PolarStereographic):
-            if proj.s > 0:
+        if isinstance(area_proj, PolarStereographic):
+            if area_proj.s > 0:
                 return proj, (-180.0, 45.0, 180.0, 90.0)
             return proj, (-180.0, -90.0, 180.0, -45.0)
-        lon0d = proj.lon0 * R2D
-        lat0d = getattr(proj, "lat0", 0.0) * R2D
+        lon0d = area_proj.lon0 * R2D
+        lat0d = getattr(area_proj, "lat0", 0.0) * R2D
         # transverse Mercator blows up at λ = ±90° from the central
         # meridian (atanh(±1) = ∞ on the equator), so its window must
         # stay well inside that singularity; EPSG GN7-2 puts the Krüger
         # series' useful domain around the central meridian — cap at
         # ±30°, far beyond any real TM zone (UTM is ±3°)
-        half_lon = 30.0 if isinstance(proj, TransverseMercatorGeneric) else 90.0
+        half_lon = 30.0 if isinstance(area_proj, TransverseMercatorGeneric) else 90.0
         return proj, (
             max(-180.0, lon0d - half_lon),
             max(-85.0, lat0d - 45.0),

@@ -178,8 +178,9 @@ def test_proj_string_rejections():
         # oblique stereographic is unsupported (polar aspect only)
         crs_conic.parse_proj_string("+proj=stere +lat_0=45")
     with pytest.raises(ValueError):
+        # towgs84 must have 3 or 7 values (4 is neither)
         crs_conic.parse_proj_string(
-            "+proj=lcc +lat_1=30 +towgs84=120,50,0 +units=m"
+            "+proj=lcc +lat_1=30 +towgs84=120,50,0,1 +units=m"
         )
     with pytest.raises(ValueError):
         crs._parse("EPSG:9999")
@@ -569,3 +570,162 @@ class TestGenericDefaultAreas:
 
         with pytest.raises(ValueError):
             parse_proj_string("+proj=longlat +lon_0=90 +ellps=WGS84")
+
+
+class TestHelmert:
+    """7-parameter datum shifts (EPSG method 9606, position-vector).
+
+    No proj/geotools exists in this container, so the oracles are
+    first-principles: an independent Bowring closed-form geocentric
+    inverse, closed-form rotation identities, round-trip exactness, and
+    the dual-backend (Catalyst vs numpy) cross-check."""
+
+    ED50_UTM32 = "EPSG:23032"
+    # WGS72→WGS84, EPSG transformation 1237 (position vector):
+    # dz=+4.5 m, rz=+0.554", ds=+0.2263 ppm — the GN7-2 worked family
+    WGS72 = (
+        "+proj=longlat +a=6378135 +rf=298.26"
+        " +towgs84=0,0,4.5,0,0,0.554,0.2263"
+    )
+
+    @staticmethod
+    def _bowring_inverse(x, y, z, a, f):
+        """Independent geocentric→geodetic: Bowring's closed-form first
+        approximation + one Newton-free correction (different method
+        from the engine's fixed-point iteration)."""
+        e2 = f * (2.0 - f)
+        b = a * (1.0 - f)
+        ep2 = e2 / (1.0 - e2)
+        p = np.hypot(x, y)
+        th = np.arctan2(z * a, p * b)
+        lam = np.arctan2(y, x)
+        phi = np.arctan2(
+            z + ep2 * b * np.sin(th) ** 3, p - e2 * a * np.cos(th) ** 3
+        )
+        return lam, phi
+
+    def test_geocentric_roundtrip_vs_bowring(self):
+        from geowave_spark.crs_conic import (
+            NUMPY_OPS,
+            _geodetic_to_xyz,
+            _xyz_to_geodetic,
+        )
+
+        a, f = 6378388.0, 1.0 / 297.0  # International 1924
+        e2 = f * (2.0 - f)
+        rng = np.random.default_rng(11)
+        lam = np.radians(rng.uniform(-179, 179, 300))
+        phi = np.radians(rng.uniform(-89, 89, 300))
+        x, y, z = _geodetic_to_xyz(NUMPY_OPS, lam, phi, a, e2)
+        # surface points satisfy the ellipsoid equation exactly
+        assert np.abs((x**2 + y**2) / a**2 + z**2 / (a * (1 - f)) ** 2 - 1.0).max() < 1e-12
+        lam2, phi2 = _xyz_to_geodetic(NUMPY_OPS, x, y, z, a, e2)
+        assert np.abs(lam2 - lam).max() < 1e-14
+        assert np.abs(phi2 - phi).max() < 1e-12
+        # independent closed-form method agrees
+        lam3, phi3 = self._bowring_inverse(x, y, z, a, f)
+        assert np.abs(lam3 - lam).max() < 1e-14
+        assert np.abs(phi3 - phi).max() < 5e-9
+
+    def test_pure_z_rotation_shifts_longitude_exactly(self):
+        """Closed-form identity: a rotation about the Z axis moves every
+        longitude by exactly rz (ellipsoid-independent), latitude
+        untouched — pins the rotation-matrix sign convention (position
+        vector: +rz moves lon EAST for local→WGS84)."""
+        from geowave_spark.crs_conic import NUMPY_OPS, HelmertShift
+
+        rz_as = 0.554
+        h = HelmertShift((0, 0, 0, 0, 0, rz_as, 0), 6378137.0, 1 / 298.257223563)
+        lam = np.radians(np.array([0.0, 45.0, -120.0, 179.0]))
+        phi = np.radians(np.array([0.0, 33.0, -67.0, 12.0]))
+        lam2, phi2 = h.local_to_wgs84(NUMPY_OPS, lam, phi)
+        rz_rad = rz_as * math.pi / (180 * 3600)
+        assert np.abs((lam2 - lam) - rz_rad).max() < 1e-12
+        # 5e-12 rad ≈ 30 µm: the fixed-point φ iteration's convergence tail
+        assert np.abs(phi2 - phi).max() < 5e-12
+
+    def test_pure_translation_matches_independent_numpy(self):
+        """3-param shift vs an independent numpy pipeline built from the
+        Bowring inverse."""
+        from geowave_spark.crs_conic import NUMPY_OPS, HelmertShift
+
+        a_l, f_l = 6378388.0, 1.0 / 297.0
+        t = (-87.0, -98.0, -121.0)
+        h = HelmertShift(t, a_l, f_l)
+        rng = np.random.default_rng(5)
+        lam = np.radians(rng.uniform(-10, 30, 200))
+        phi = np.radians(rng.uniform(35, 70, 200))
+        lam2, phi2 = h.local_to_wgs84(NUMPY_OPS, lam, phi)
+        # independent: geodetic→XYZ by direct formula, +t, Bowring back
+        e2l = f_l * (2 - f_l)
+        nu = a_l / np.sqrt(1 - e2l * np.sin(phi) ** 2)
+        x = nu * np.cos(phi) * np.cos(lam) + t[0]
+        y = nu * np.cos(phi) * np.sin(lam) + t[1]
+        z = nu * (1 - e2l) * np.sin(phi) + t[2]
+        lam3, phi3 = self._bowring_inverse(x, y, z, 6378137.0, 1 / 298.257223563)
+        assert np.abs(lam3 - lam2).max() < 1e-13
+        assert np.abs(phi3 - phi2).max() < 5e-9
+
+    def test_roundtrip_and_magnitude_ed50(self):
+        """ED50→WGS84 (EPSG tfm 1133) at a German point: the horizontal
+        offset is the well-known ~100-250 m European datum gap, and the
+        full projected round trip closes to sub-mm."""
+        from geowave_spark.crs import transform_np
+
+        lon, lat = np.array([9.5]), np.array([52.0])
+        x, y = transform_np(lon, lat, "EPSG:4326", self.ED50_UTM32)
+        # against the UNSHIFTED intl-ellipsoid UTM32: the Helmert moves
+        # the projected position by a ~100-250 m European datum gap
+        x0, y0 = transform_np(
+            lon, lat, "EPSG:4326",
+            "+proj=tmerc +lon_0=9 +k_0=0.9996 +x_0=500000 +ellps=intl",
+        )
+        d = math.hypot(float(x[0] - x0[0]), float(y[0] - y0[0]))
+        assert 100.0 < d < 250.0, d
+        lon2, lat2 = transform_np(x, y, self.ED50_UTM32, "EPSG:4326")
+        # 1e-8 deg ~ 1.1 mm: three unrolled fixed-point inversions compose
+        assert abs(float(lon2[0] - lon[0])) < 1e-8
+        assert abs(float(lat2[0] - lat[0])) < 1e-8
+
+    def test_seven_param_roundtrip_and_scale_sign(self):
+        from geowave_spark.crs import transform_np
+        from geowave_spark.crs_conic import NUMPY_OPS, parse_proj_string
+
+        p = parse_proj_string(self.WGS72)
+        rng = np.random.default_rng(3)
+        lon = rng.uniform(-179, 179, 150)
+        lat = rng.uniform(-85, 85, 150)
+        # longlat CRS: forward = WGS84 → WGS72 coords (deg)
+        lo72, la72 = p.forward(NUMPY_OPS, lon, lat)
+        lo84, la84 = p.inverse(NUMPY_OPS, lo72, la72)
+        assert np.abs(lo84 - lon).max() < 1e-10
+        assert np.abs(la84 - lat).max() < 1e-10
+        # rz=+0.554" means WGS72→WGS84 shifts longitudes EAST by 0.554",
+        # so the WGS72 coords of a WGS84 point sit WEST of it by ~rz
+        dlon_as = (lon - lo72) * 3600.0
+        assert np.abs(dlon_as - 0.554).max() < 2e-3
+
+    def test_catalyst_numpy_parity_shifted(self, spark):
+        import pandas as pd
+
+        from geowave_spark import crs
+
+        rng = np.random.default_rng(23)
+        lon = rng.uniform(6.0, 12.0, 128)
+        lat = rng.uniform(40.0, 70.0, 128)
+        df = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+        out = (
+            crs.transform_df(df, "EPSG:4326", self.ED50_UTM32)
+            .select("x", "y")
+            .toPandas()
+            .to_numpy()
+        )
+        nx, ny = crs.transform_np(lon, lat, "EPSG:4326", self.ED50_UTM32)
+        assert np.abs(out[:, 0] - nx).max() < 1e-6
+        assert np.abs(out[:, 1] - ny).max() < 1e-6
+
+    def test_zero_shift_is_identity_fast_path(self):
+        from geowave_spark.crs_conic import DatumShifted, parse_proj_string
+
+        p = parse_proj_string("+proj=merc +ellps=WGS84 +towgs84=0,0,0")
+        assert not isinstance(p, DatumShifted)
