@@ -1,11 +1,12 @@
-"""Ingest format plugins: ESRI Shapefile (+dBase attributes) and GPX.
+"""Ingest format plugins: ESRI Shapefile (+dBase attributes), GPX, GeoJSON.
 
 The reference ships ingest plugins that parse external vector formats
-into features (extensions/formats/* — geotools-vector covers shapefiles,
-gpx parses track logs).  This module reads both formats from scratch
-(public specs: the ESRI Shapefile Technical Description whitepaper and
-the dBase III header layout; GPX is plain XML) into DataFrames whose
-``wkt`` geometry column feeds every engine operator.
+into features (extensions/formats/* — geotools-vector covers shapefiles
+and GeoJSON, gpx parses track logs).  This module reads the formats from
+scratch (public specs: the ESRI Shapefile Technical Description
+whitepaper, the dBase III header layout, RFC 7946 GeoJSON; GPX is plain
+XML) into DataFrames whose ``wkt`` geometry column feeds every engine
+operator.
 
 Scale shape: the .shx sidecar is a fixed-stride offset index, so a large
 shapefile SPLITS — the driver reads only the tiny .shx, slices the
@@ -283,3 +284,218 @@ def read_gpx(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(
         rdd, "track int, seg int, seq int, lon double, lat double, ele double, time string, wkt string"
     )
+
+
+# ---------------------------------------------------------------------------
+# GeoJSON (RFC 7946) — geotools-vector front-door analog
+# ---------------------------------------------------------------------------
+
+
+def geojson_geom_to_wkt(geom: dict | None) -> str | None:
+    """RFC 7946 geometry object → WKT (every type, incl. polygon holes
+    and nested GeometryCollection — the engine's WKT parser flattens the
+    collection to union-of-components, r4 semantics).  Coordinates keep
+    full float64 precision (``%.17g``) so ingest→parse round-trips
+    bit-exact; any altitude (3rd element) is dropped like the 2-D
+    shapefile path."""
+    if geom is None:
+        return None
+    t = geom["type"]
+
+    def pt(p):
+        return f"{float(p[0]):.17g} {float(p[1]):.17g}"
+
+    def ring(r):
+        return "(" + ", ".join(pt(p) for p in r) + ")"
+
+    if t == "Point":
+        return f"POINT ({pt(geom['coordinates'])})"
+    if t == "MultiPoint":
+        return "MULTIPOINT (" + ", ".join(pt(p) for p in geom["coordinates"]) + ")"
+    if t == "LineString":
+        return "LINESTRING " + ring(geom["coordinates"])
+    if t == "MultiLineString":
+        return (
+            "MULTILINESTRING ("
+            + ", ".join(ring(r) for r in geom["coordinates"])
+            + ")"
+        )
+    if t == "Polygon":
+        return "POLYGON (" + ", ".join(ring(r) for r in geom["coordinates"]) + ")"
+    if t == "MultiPolygon":
+        return (
+            "MULTIPOLYGON ("
+            + ", ".join(
+                "(" + ", ".join(ring(r) for r in poly) + ")"
+                for poly in geom["coordinates"]
+            )
+            + ")"
+        )
+    if t == "GeometryCollection":
+        return (
+            "GEOMETRYCOLLECTION ("
+            + ", ".join(geojson_geom_to_wkt(g) for g in geom["geometries"])
+            + ")"
+        )
+    raise ValueError(f"unsupported GeoJSON geometry type {t!r}")
+
+
+def _geojson_features(obj: dict) -> list[dict]:
+    t = obj.get("type")
+    if t == "FeatureCollection":
+        return obj["features"]
+    if t == "Feature":
+        return [obj]
+    # bare geometry object
+    return [{"type": "Feature", "geometry": obj, "properties": {}}]
+
+
+def _feature_rows(
+    feats: list[dict], keys: list[str], default_ids: bool = True
+) -> list[tuple]:
+    rows = []
+    for i, ft in enumerate(feats):
+        g = ft.get("geometry")
+        props = ft.get("properties") or {}
+        fid = ft.get("id")
+        if fid is None and default_ids:
+            fid = i  # position within ONE document — meaningless across lines
+        rows.append(
+            (
+                str(fid) if fid is not None else None,
+                g.get("type") if g else None,
+                geojson_geom_to_wkt(g),
+                *(props.get(k) for k in keys),
+            )
+        )
+    return rows
+
+
+def _prop_schema(feats: list[dict]) -> list[tuple[str, str]]:
+    """(key, spark type) per property, first-seen order; a key is long if
+    every non-null value is a bool-free int, double if numeric, boolean
+    if bool, else string (the same inference family as spark.read.json)."""
+    order: list[str] = []
+    kinds: dict[str, set] = {}
+    for ft in feats:
+        for k, v in (ft.get("properties") or {}).items():
+            if k not in kinds:
+                order.append(k)
+                kinds[k] = set()
+            if v is None:
+                continue
+            if isinstance(v, bool):
+                kinds[k].add("boolean")
+            elif isinstance(v, int):
+                kinds[k].add("long")
+            elif isinstance(v, float):
+                kinds[k].add("double")
+            else:
+                kinds[k].add("string")
+    out = []
+    for k in order:
+        s = kinds[k]
+        if s <= {"long"} and s:
+            t = "long"
+        elif s <= {"long", "double"} and s:
+            t = "double"
+        elif s == {"boolean"}:
+            t = "boolean"
+        else:
+            t = "string"
+        out.append((k, t))
+    return out
+
+
+def read_geojson(
+    spark: SparkSession, path: str, parallelism: int | None = None
+) -> DataFrame:
+    """Read GeoJSON file(s) (FeatureCollection / single Feature / bare
+    geometry) into (fid, gtype, wkt [+ typed property columns]).
+
+    One task per file (a FeatureCollection is one JSON document — not
+    line-splittable; use :func:`read_geojson_seq` for the newline-
+    delimited scale format).  The schema comes from a driver-side probe
+    of the FIRST file, mirroring the shapefile reader: later files'
+    extra property keys are dropped, missing keys are null."""
+    import json
+    from glob import glob
+
+    paths = sorted(glob(path)) if any(ch in path for ch in "*?[") else None
+    first = paths[0] if paths else path
+    if paths is None and os.path.isdir(path):
+        paths = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith((".json", ".geojson"))
+        )
+        first = paths[0]
+    with open(first, "rb") as f:
+        probe_feats = _geojson_features(json.loads(f.read()))
+    prop_cols = _prop_schema(probe_feats[:200])
+    keys = [k for k, _ in prop_cols]
+    schema = "fid string, gtype string, wkt string" + "".join(
+        f", `{k}` {t}" for k, t in prop_cols
+    )
+    coerce = {k: t for k, t in prop_cols}
+
+    def _parse(content: bytes):
+        feats = _geojson_features(json.loads(content))
+        rows = _feature_rows(feats, keys)
+        # coerce numeric widening (a long-probed column may meet floats
+        # in later files only if the probe undersold it — cast defensively)
+        out = []
+        for r in rows:
+            fixed = list(r[:3])
+            for (k, _t), v in zip(prop_cols, r[3:]):
+                if v is not None:
+                    t = coerce[k]
+                    if t == "double":
+                        v = float(v)
+                    elif t == "long":
+                        v = int(v)
+                    elif t == "string" and not isinstance(v, str):
+                        v = json.dumps(v)
+                    elif t == "boolean":
+                        v = bool(v)
+                fixed.append(v)
+            out.append(tuple(fixed))
+        return out
+
+    files = spark.read.format("binaryFile").load(paths or path).select("content")
+    rdd = files.rdd.flatMap(lambda r: _parse(bytes(r["content"])))
+    return spark.createDataFrame(rdd, schema)
+
+
+def read_geojson_seq(spark: SparkSession, path: str) -> DataFrame:
+    """Newline-delimited GeoJSON (GeoJSONSeq / *.ndjson: one Feature per
+    line) → the same (fid, gtype, wkt [+ properties]) rows.
+
+    This is the 100 TB path: plain text lines SPLIT, so a single huge
+    file scans with full parallelism — schema probed from the first 200
+    lines, parsing runs in executors via mapPartitions."""
+    import json
+
+    txt = spark.read.text(path)
+    head = [r["value"] for r in txt.limit(200).collect() if r["value"].strip()]
+    probe = [json.loads(s) for s in head]
+    probe_feats = [f for obj in probe for f in _geojson_features(obj)]
+    prop_cols = _prop_schema(probe_feats)
+    keys = [k for k, _ in prop_cols]
+    schema = "fid string, gtype string, wkt string" + "".join(
+        f", `{k}` {t}" for k, t in prop_cols
+    )
+
+    def _parse(it):
+        import json as _json
+
+        for r in it:
+            s = r["value"].strip()
+            if not s:
+                continue
+            rows = _feature_rows(
+                _geojson_features(_json.loads(s)), keys, default_ids=False
+            )
+            yield from rows
+
+    return spark.createDataFrame(txt.rdd.mapPartitions(_parse), schema)

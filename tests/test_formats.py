@@ -500,3 +500,154 @@ class TestPalettePlanar:
                 str(tmp_path / "x.tif"), px, origin=(0, 0), res=1.0,
                 compression="jpeg", planar=2,
             )
+
+
+class TestGeoJSON:
+    """RFC 7946 ingest (geotools-vector GeoJSON front-door analog)."""
+
+    GEOMS = {
+        "Point": {"type": "Point", "coordinates": [10.25, -3.5]},
+        "MultiPoint": {"type": "MultiPoint", "coordinates": [[1, 2], [3.5, -4]]},
+        "LineString": {"type": "LineString", "coordinates": [[0, 0], [5, 5], [10, 0]]},
+        "MultiLineString": {
+            "type": "MultiLineString",
+            "coordinates": [[[0, 0], [1, 1]], [[2, 2], [3, 3]]],
+        },
+        "Polygon": {  # with a hole
+            "type": "Polygon",
+            "coordinates": [
+                [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+                [[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]],
+            ],
+        },
+        "MultiPolygon": {
+            "type": "MultiPolygon",
+            "coordinates": [
+                [[[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]],
+                [[[10, 10], [14, 10], [14, 14], [10, 14], [10, 10]]],
+            ],
+        },
+        "GeometryCollection": {
+            "type": "GeometryCollection",
+            "geometries": [
+                {"type": "Point", "coordinates": [1, 2]},
+                {"type": "LineString", "coordinates": [[0, 0], [1, 1]]},
+            ],
+        },
+    }
+
+    def test_every_geometry_type_parses_back(self):
+        """WKT emitted by the converter must round-trip through the
+        engine's own parser with exact coordinates."""
+        from geowave_spark.geom import parse_wkt_multi
+        from geowave_spark.sources.formats import geojson_geom_to_wkt
+
+        for name, g in self.GEOMS.items():
+            wkt = geojson_geom_to_wkt(g)
+            assert wkt.startswith(name.upper())
+            kind, parts = parse_wkt_multi(wkt)
+            assert parts, (name, wkt)
+        # hole round-trip: the polygon keeps both rings
+        _, rings = parse_wkt_multi(geojson_geom_to_wkt(self.GEOMS["Polygon"]))
+        assert len(rings) == 2
+        assert np.allclose(rings[1][0], [4.0, 4.0])
+
+    def test_feature_collection_typed_properties(self, spark, tmp_path):
+        import json
+
+        fc = {
+            "type": "FeatureCollection",
+            "features": [
+                {
+                    "type": "Feature",
+                    "id": "a1",
+                    "geometry": {"type": "Point", "coordinates": [1.5, 2.5]},
+                    "properties": {"name": "alpha", "pop": 120, "frac": 0.5, "ok": True},
+                },
+                {
+                    "type": "Feature",
+                    "geometry": {"type": "Point", "coordinates": [-3.25, 7.0]},
+                    "properties": {"name": "beta", "pop": 7, "frac": 1.25, "ok": False},
+                },
+            ],
+        }
+        p = tmp_path / "pts.geojson"
+        p.write_text(json.dumps(fc))
+        from geowave_spark.sources.formats import read_geojson
+
+        df = read_geojson(spark, str(p))
+        assert dict(df.dtypes) == {
+            "fid": "string", "gtype": "string", "wkt": "string",
+            "name": "string", "pop": "bigint", "frac": "double", "ok": "boolean",
+        }
+        rows = {r["fid"]: r for r in df.collect()}
+        assert rows["a1"]["name"] == "alpha" and rows["a1"]["pop"] == 120
+        assert rows["1"]["wkt"] == "POINT (-3.25 7)"
+        assert rows["a1"]["ok"] is True and rows["1"]["frac"] == 1.25
+
+    def test_geojson_seq_splittable_path(self, spark, tmp_path):
+        import json
+
+        lines = []
+        for i in range(257):
+            lines.append(json.dumps({
+                "type": "Feature",
+                "id": i,
+                "geometry": {"type": "Point", "coordinates": [i * 0.5 - 60.0, (i % 90) - 45.0]},
+                "properties": {"v": i},
+            }))
+        p = tmp_path / "pts.ndjson"
+        p.write_text("\n".join(lines) + "\n")
+        from geowave_spark.sources.formats import read_geojson_seq
+
+        df = read_geojson_seq(spark, str(p))
+        assert df.count() == 257
+        got = {int(r["fid"]): r["v"] for r in df.collect()}
+        assert got[256] == 256 and got[0] == 0
+
+    def test_join_from_geojson_matches_parquet_path(self, spark, tmp_path):
+        """The done-criterion: a spatial join sourced from GeoJSON must
+        return the same row set as the identical join from an in-memory
+        (parquet-path) DataFrame."""
+        import json
+
+        from geowave_spark.operators.join import distance_join
+        from geowave_spark.sources.formats import read_geojson
+
+        rng = np.random.default_rng(31)
+        n = 400
+        lon = rng.uniform(-30, 30, n)
+        lat = rng.uniform(-20, 20, n)
+        feats = [
+            {
+                "type": "Feature",
+                "id": int(i),
+                "geometry": {"type": "Point", "coordinates": [float(lon[i]), float(lat[i])]},
+                "properties": {"k": int(i)},
+            }
+            for i in range(n)
+        ]
+        p = tmp_path / "join_pts.geojson"
+        p.write_text(json.dumps({"type": "FeatureCollection", "features": feats}))
+        gj = read_geojson(spark, str(p)).selectExpr(
+            "k as id",
+            "cast(regexp_extract(wkt, 'POINT \\\\(([^ ]+) ([^)]+)\\\\)', 1) as double) as lon",
+            "cast(regexp_extract(wkt, 'POINT \\\\(([^ ]+) ([^)]+)\\\\)', 2) as double) as lat",
+        )
+        import pandas as pd
+
+        direct = spark.createDataFrame(
+            pd.DataFrame({"qid": np.arange(n, dtype=np.int64), "lon": lon, "lat": lat})
+        )
+        q = direct.where("qid % 7 = 0")
+        got = sorted(
+            (r["id"], r["qid"])
+            for r in distance_join(gj, q, 1.5, "id", "qid").collect()
+        )
+        want = sorted(
+            (r["qid2"], r["qid"])
+            for r in distance_join(
+                direct.selectExpr("qid as qid2", "lon", "lat"), q, 1.5, "qid2", "qid"
+            ).collect()
+        )
+        assert got and got == want
