@@ -185,7 +185,9 @@ def kde_tiles(
         "_ty", F.floor(F.col("cy") / ts).cast("long")
     )
 
-    def _pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    # no type hints on purpose: a partial annotation makes pyspark warn it
+    # can't infer the eval type (positional (key, pdf) is the contract)
+    def _pack(key, pdf):
         arr = np.zeros((ts, ts), dtype=np.float32)
         arr[
             pdf["cy"].to_numpy(np.int64) % ts, pdf["cx"].to_numpy(np.int64) % ts

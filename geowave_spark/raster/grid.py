@@ -31,6 +31,7 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -261,3 +262,207 @@ def merge_raster_tiles(
         )
 
     return tiles.groupBy("tier", "cell").applyInPandas(_merge, GRID_MERGED_SCHEMA)
+
+
+# ---- server merge (persist-time compaction) --------------------------------
+#
+# The reference applies merge strategies in two places: at read time
+# (RasterTileMergeStrategy on the client) and SERVER-side as a k/v-store
+# combiner, so that after compaction the store holds ONE pre-merged tile
+# per cell and every later read skips the fold entirely
+# (SingleAdapterServerMergeStrategy.java; MultiAdapterServerMergeStrategy
+# .java dispatches a per-adapter strategy keyed by internal adapter id).
+# The Spark-native analog of "server-side" is PERSIST-time: the merged
+# table is the compacted store, appends re-fold new tiles into the stored
+# accumulator exactly like the combiner's merge(thisTile, nextTile), and
+# the strategy is recorded in table properties so a mismatched reader
+# raises instead of silently double-merging with different semantics.
+
+_RPROP_STRATEGY = "geowave.raster.strategy"
+_RPROP_SPEC = "geowave.raster.spec"
+_RPROP_TILE = "geowave.raster.tile_size"
+
+
+def _spec_fingerprint(spec: RasterSpec) -> str:
+    return f"bands={spec.bands}|dtype={spec.dtype}|nodata={spec.nodata!r}"
+
+
+def server_merge_write(
+    tiles: DataFrame,
+    table: str,
+    spec: RasterSpec,
+    *,
+    tile_size: int = 16,
+    strategy: str = "nodata",
+    mode: str = "overwrite",
+) -> None:
+    """Persist GRID_TILE_SCHEMA rows as a compacted one-tile-per-cell
+    table (SingleAdapterServerMergeStrategy semantics).
+
+    ``mode="append"`` folds the new tiles INTO the stored accumulator —
+    the stored tile plays ``thisTile`` and each new tile ``nextTile`` in
+    raster_id order, matching the reference combiner's write-order merge;
+    ``n_sources`` accumulates across compactions.  ``mean`` is rejected
+    here by design: the server path is a binary combiner (no count plane
+    survives persistence), the same reason the reference's server
+    strategies are all SimpleAbstractMergeStrategy folds — use
+    :func:`merge_raster_tiles` at read time for running means."""
+    if strategy == "mean":
+        raise ValueError(
+            "mean is not a binary combiner (needs a count plane) — the "
+            "server merge path persists pre-folded tiles; use "
+            "merge_raster_tiles(strategy='mean') at read time"
+        )
+    fn = MERGE_STRATEGIES[strategy]
+    spark = tiles.sparkSession
+    ts = tile_size
+
+    base = tiles.select("raster_id", "tier", "cell", "tile").withColumn(
+        "n_sources", F.lit(1).cast("int")
+    )
+    if mode == "append" and spark.catalog.tableExists(table):
+        props = _raster_table_props(spark, table)
+        _check_raster_props(props, table, spec, tile_size, strategy)
+        # the stored accumulator sorts first (empty raster_id) so the
+        # fold order is exactly combiner order: acc, then new by id
+        existing = spark.table(table).select(
+            F.lit("").alias("raster_id"), "tier", "cell", "tile", "n_sources"
+        )
+        base = existing.unionByName(base)
+
+    def _fold(key, pdf):
+        pdf = pdf.sort_values("raster_id")
+        acc = None
+        n = 0
+        for raw, k in zip(pdf["tile"], pdf["n_sources"]):
+            cur = spec.to_array(raw, ts)
+            n += int(k)
+            if acc is None:
+                acc = cur.copy()
+            else:
+                acc = fn(acc, cur, spec.nodata_mask(acc), spec.nodata_mask(cur))
+        return pd.DataFrame(
+            {"tier": [key[0]], "cell": [key[1]], "tile": [acc.tobytes()], "n_sources": [n]}
+        )
+
+    merged = base.groupBy("tier", "cell").applyInPandas(_fold, GRID_MERGED_SCHEMA)
+    from ..sources.bucketing import _clear_stale_location
+
+    if mode == "append" and spark.catalog.tableExists(table):
+        # the fold READS the table being replaced — write the compacted
+        # result to a staging table first (distributed, never collected),
+        # then swap via catalog rename: the same write-ahead + pointer
+        # flip a real compactor does, metadata-only at any scale
+        staging = f"{table}__compact"
+        _clear_stale_location(spark, staging)
+        merged.write.format("parquet").saveAsTable(staging)
+        spark.sql(f"DROP TABLE {table}")
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    else:
+        _clear_stale_location(spark, table)
+        merged.write.format("parquet").saveAsTable(table)
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES ("
+        f"'{_RPROP_STRATEGY}'='{strategy}', "
+        f"'{_RPROP_SPEC}'='{_spec_fingerprint(spec)}', "
+        f"'{_RPROP_TILE}'='{tile_size}')"
+    )
+
+
+def _raster_table_props(spark, table: str) -> dict:
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    return {r["key"]: r["value"] for r in rows}
+
+
+def _check_raster_props(props, table, spec, tile_size, strategy=None):
+    if _RPROP_STRATEGY not in props:
+        raise ValueError(
+            f"{table} was not written by server_merge_write "
+            f"(missing {_RPROP_STRATEGY} property)"
+        )
+    if props[_RPROP_SPEC] != _spec_fingerprint(spec) or int(
+        props[_RPROP_TILE]
+    ) != tile_size:
+        raise ValueError(
+            f"{table} holds tiles of [{props[_RPROP_SPEC]} @ "
+            f"{props[_RPROP_TILE]}px] but the caller passed "
+            f"[{_spec_fingerprint(spec)} @ {tile_size}px]"
+        )
+    if strategy is not None and props[_RPROP_STRATEGY] != strategy:
+        raise ValueError(
+            f"{table} was compacted with strategy "
+            f"{props[_RPROP_STRATEGY]!r}; appending with {strategy!r} "
+            f"would mix merge semantics in one store"
+        )
+
+
+def server_merged_read(
+    spark, table: str, spec: RasterSpec, tile_size: int = 16
+) -> DataFrame:
+    """The compacted table's rows, after verifying the recorded spec —
+    no client-side fold needed (that already happened at write time)."""
+    _check_raster_props(_raster_table_props(spark, table), table, spec, tile_size)
+    return spark.table(table)
+
+
+def merge_multi_adapter(
+    tiles: DataFrame,
+    adapters: dict[str, tuple[RasterSpec, str]],
+    tile_size: int = 16,
+) -> DataFrame:
+    """Merge a MIXED tile table carrying an ``adapter_id`` column, each
+    adapter with its own (spec, strategy) — MultiAdapterServerMergeStrategy
+    semantics (per-adapter strategy dispatch under one store/scan).
+
+    One applyInPandas over (adapter_id, tier, cell); the group key picks
+    the adapter's strategy, so co-located adapters never cross-merge."""
+    ts = tile_size
+    out_schema = StructType(
+        [StructField("adapter_id", StringType(), False)]
+        + GRID_MERGED_SCHEMA.fields
+    )
+    for aid, (spec, strategy) in adapters.items():
+        if strategy not in MERGE_STRATEGIES and strategy != "mean":
+            raise ValueError(f"unknown strategy {strategy!r} for adapter {aid!r}")
+
+    def _fold(key, pdf):
+        aid = key[0]
+        if aid not in adapters:
+            raise ValueError(f"tile rows carry unregistered adapter_id {aid!r}")
+        spec, strategy = adapters[aid]
+        pdf = pdf.sort_values("raster_id")
+        if strategy == "mean":
+            acc = np.zeros((ts, ts, spec.bands), dtype=np.float64)
+            cnt = np.zeros((ts, ts, 1), dtype=np.int64)
+            for raw in pdf["tile"]:
+                cur = spec.to_array(raw, ts).astype(np.float64)
+                valid = ~spec.nodata_mask(spec.to_array(raw, ts))
+                acc[valid] += cur[valid]
+                cnt[valid] += 1
+            out = np.full((ts, ts, spec.bands), spec.nodata, dtype=np.float64)
+            nz = cnt[:, :, 0] > 0
+            out[nz] = acc[nz] / cnt[nz]
+            tile = out.astype(spec.dtype).tobytes()
+        else:
+            fn = MERGE_STRATEGIES[strategy]
+            acc = None
+            for raw in pdf["tile"]:
+                cur = spec.to_array(raw, ts)
+                if acc is None:
+                    acc = cur.copy()
+                else:
+                    acc = fn(acc, cur, spec.nodata_mask(acc), spec.nodata_mask(cur))
+            tile = acc.tobytes()
+        return pd.DataFrame(
+            {
+                "adapter_id": [aid],
+                "tier": [key[1]],
+                "cell": [key[2]],
+                "tile": [tile],
+                "n_sources": [len(pdf)],
+            }
+        )
+
+    return tiles.groupBy("adapter_id", "tier", "cell").applyInPandas(
+        _fold, out_schema
+    )

@@ -573,3 +573,130 @@ class TestResYNullFallback:
             for r in tile_rasters(without_col, spec, 16).collect()
         )
         assert got and got == want
+
+
+class TestServerMerge:
+    """Persist-time compaction (SingleAdapterServerMergeStrategy) and
+    per-adapter dispatch (MultiAdapterServerMergeStrategy) — the k/v
+    combiner semantics re-expressed as a compacted catalog table."""
+
+    @pytest.fixture(scope="class")
+    def spec(self):
+        from geowave_spark.raster.grid import RasterSpec
+
+        return RasterSpec(bands=1, dtype="float32", nodata=-9999.0)
+
+    def _tiles(self, spark, spec, ids, seed):
+        import pandas as pd
+
+        from geowave_spark.raster.grid import tile_rasters
+
+        rng = np.random.default_rng(seed)
+        rows = []
+        for k, rid in enumerate(ids):
+            arr = rng.normal(50.0, 5.0, (24, 32, 1)).astype(np.float32)
+            # punch nodata holes so the fold has something to fill
+            hole = rng.integers(0, 20, 2)
+            arr[hole[0] : hole[0] + 6, hole[1] : hole[1] + 8] = spec.nodata
+            rows.append(
+                {
+                    "raster_id": rid,
+                    "data": arr.tobytes(),
+                    "w": 32,
+                    "h": 24,
+                    "lon": float(-10 + (k % 2) * 0.002 * 16),
+                    "lat": float(5 + (k // 2) * 0.002 * 12),
+                    "res": 0.002,
+                }
+            )
+        return tile_rasters(spark.createDataFrame(pd.DataFrame(rows)), spec, 16)
+
+    def test_compaction_append_equals_one_shot(self, spark, spec):
+        """write(batch1) + append(batch2) must equal the one-shot merge of
+        all tiles: the stored accumulator plays thisTile, new tiles fold
+        in raster_id order — exactly the reference combiner's order when
+        ids arrive ordered."""
+        from geowave_spark.raster.grid import (
+            merge_raster_tiles,
+            server_merge_write,
+            server_merged_read,
+        )
+
+        t1 = self._tiles(spark, spec, ["a0", "a1", "a2"], seed=3)
+        t2 = self._tiles(spark, spec, ["b0", "b1"], seed=9)
+        name = "test_server_merge"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        server_merge_write(t1, name, spec, strategy="nodata")
+        server_merge_write(t2, name, spec, strategy="nodata", mode="append")
+        got = {
+            (r["tier"], r["cell"]): (bytes(r["tile"]), r["n_sources"])
+            for r in server_merged_read(spark, name, spec).collect()
+        }
+        want = {
+            (r["tier"], r["cell"]): (bytes(r["tile"]), r["n_sources"])
+            for r in merge_raster_tiles(
+                t1.unionByName(t2), spec, 16, strategy="nodata"
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k][0] == want[k][0], k  # byte-exact tiles
+            assert got[k][1] == want[k][1], k  # n_sources accumulates
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    def test_guards(self, spark, spec):
+        from geowave_spark.raster.grid import (
+            RasterSpec,
+            server_merge_write,
+            server_merged_read,
+        )
+
+        t1 = self._tiles(spark, spec, ["a0"], seed=1)
+        name = "test_server_merge_guard"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        with pytest.raises(ValueError, match="mean"):
+            server_merge_write(t1, name, spec, strategy="mean")
+        server_merge_write(t1, name, spec, strategy="max")
+        with pytest.raises(ValueError, match="strategy"):
+            server_merge_write(t1, name, spec, strategy="min", mode="append")
+        with pytest.raises(ValueError, match="tiles of"):
+            server_merged_read(
+                spark, name, RasterSpec(bands=2, dtype="float32", nodata=-9999.0)
+            )
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    def test_multi_adapter_dispatch(self, spark, spec):
+        """Two adapters sharing one tile table merge under their OWN
+        strategies; per-cell results match independent numpy folds."""
+        from pyspark.sql import functions as F
+
+        from geowave_spark.raster.grid import (
+            merge_multi_adapter,
+            merge_raster_tiles,
+        )
+
+        ta = self._tiles(spark, spec, ["a0", "a1", "a2"], seed=5).withColumn(
+            "adapter_id", F.lit("dem")
+        )
+        tb = self._tiles(spark, spec, ["b0", "b1", "b2"], seed=6).withColumn(
+            "adapter_id", F.lit("thermal")
+        )
+        mixed = ta.unionByName(tb)
+        out = merge_multi_adapter(
+            mixed, {"dem": (spec, "min"), "thermal": (spec, "max")}, 16
+        )
+        got = {
+            (r["adapter_id"], r["tier"], r["cell"]): bytes(r["tile"])
+            for r in out.collect()
+        }
+        for aid, src, strat in (("dem", ta, "min"), ("thermal", tb, "max")):
+            want = {
+                (aid, r["tier"], r["cell"]): bytes(r["tile"])
+                for r in merge_raster_tiles(
+                    src.drop("adapter_id"), spec, 16, strategy=strat
+                ).collect()
+            }
+            for k, v in want.items():
+                assert got[k] == v, k
+        with pytest.raises(Exception, match="unregistered"):
+            merge_multi_adapter(mixed, {"dem": (spec, "min")}, 16).collect()
