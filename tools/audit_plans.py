@@ -79,6 +79,7 @@ def main():
         "tile_assignment",         # zero-shuffle per-image lattice gather
         "minhash_neardup",         # banded LSH bucket equi-join, no all-pairs
         "phash_neardup",           # dedupe → multi-index band join → size join-back
+        "spatial_distance_join_bucketed",  # one Exchange total: probe scans buckets
     ]
     lines = [
         "# PLANS.md — physical-plan audit of headline queries",
