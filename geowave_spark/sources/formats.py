@@ -422,6 +422,8 @@ def read_geojson(
     from glob import glob
 
     paths = sorted(glob(path)) if any(ch in path for ch in "*?[") else None
+    if paths is not None and not paths:
+        raise FileNotFoundError(f"no files match GeoJSON glob {path!r}")
     first = paths[0] if paths else path
     if paths is None and os.path.isdir(path):
         paths = sorted(
@@ -429,6 +431,8 @@ def read_geojson(
             for f in os.listdir(path)
             if f.endswith((".json", ".geojson"))
         )
+        if not paths:
+            raise FileNotFoundError(f"no .json/.geojson files in {path!r}")
         first = paths[0]
     with open(first, "rb") as f:
         probe_feats = _geojson_features(json.loads(f.read()))

@@ -581,8 +581,11 @@ class TestHelmert:
     the dual-backend (Catalyst vs numpy) cross-check."""
 
     ED50_UTM32 = "EPSG:23032"
-    # WGS72→WGS84, EPSG transformation 1237 (position vector):
-    # dz=+4.5 m, rz=+0.554", ds=+0.2263 ppm — the GN7-2 worked family
+    # the classic WGS72→WGS84 parameters (DMA TR 8350.2 family):
+    # dz=+4.5 m, rz=+0.554", ds=+0.2263 ppm, position vector.  The test
+    # does not depend on these being THE registry values — it pins
+    # round-trip closure and the rotation sign convention, which hold
+    # for any parameter set
     WGS72 = (
         "+proj=longlat +a=6378135 +rf=298.26"
         " +towgs84=0,0,4.5,0,0,0.554,0.2263"
