@@ -36,6 +36,7 @@ import math
 import re
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -144,6 +145,33 @@ def crs_extent(crs: str) -> tuple[float, float, float, float]:
 # --------------------------------------------------------------------------
 
 
+def _arrow_transform_cols(proj, a: Column, b: Column, inverse: bool) -> tuple[Column, Column]:
+    """Datum-shifted transforms as ONE Arrow-batched numpy evaluation.
+
+    A DatumShifted chain (geodetic→geocentric→Helmert→geodetic→
+    projection) inlined as a Catalyst expression duplicates its subtree
+    multiplicatively at every reuse point; embedded in a larger stage
+    (e.g. KDE binning, which references x and y several times) the
+    generated code grows past what janino can compile — measured
+    OutOfMemoryError on KDE + EPSG:23032.  Expressions have no
+    let-binding, so the structural fix is evaluation through the numpy
+    twin in a single vectorized pandas UDF returning a struct: both
+    output columns read fields of the SAME UDF call (one Arrow pass, no
+    per-row Python), and the values are bit-identical to the plain-
+    Catalyst path wherever libm agrees because the numpy twin consumes
+    literally the same parse-time literals."""
+    from .crs_conic import NUMPY_OPS
+
+    @F.pandas_udf("x double, y double")
+    def _tx(u: pd.Series, v: pd.Series) -> pd.DataFrame:
+        fn = proj.inverse if inverse else proj.forward
+        X, Y = fn(NUMPY_OPS, u.to_numpy(np.float64), v.to_numpy(np.float64))
+        return pd.DataFrame({"x": X, "y": Y})
+
+    out = _tx(a, b)
+    return out.getField("x"), out.getField("y")
+
+
 def forward_cols(crs: str, lon: Column | str, lat: Column | str) -> tuple[Column, Column]:
     """(lon°, lat°) → projected (x, y) as Catalyst columns."""
     lon = F.col(lon) if isinstance(lon, str) else lon
@@ -152,8 +180,10 @@ def forward_cols(crs: str, lon: Column | str, lat: Column | str) -> tuple[Column
     if kind[0] == "lonlat":
         return lon, lat
     if kind[0] == "ext":
-        from .crs_conic import CATALYST_OPS
+        from .crs_conic import CATALYST_OPS, DatumShifted
 
+        if isinstance(kind[1], DatumShifted):
+            return _arrow_transform_cols(kind[1], lon, lat, inverse=False)
         return kind[1].forward(CATALYST_OPS, lon, lat)
     if kind[0] == "webmerc":
         # deg→rad as one multiply by the rounded π/180 literal (NOT
@@ -192,6 +222,10 @@ def inverse_cols(crs: str, x: Column | str, y: Column | str) -> tuple[Column, Co
     if kind[0] == "ext":
         from .crs_conic import CATALYST_OPS
 
+        from .crs_conic import DatumShifted
+
+        if isinstance(kind[1], DatumShifted):
+            return _arrow_transform_cols(kind[1], x, y, inverse=True)
         return kind[1].inverse(CATALYST_OPS, x, y)
     if kind[0] == "webmerc":
         lon = F.degrees(x / F.lit(A_WGS84))

@@ -172,6 +172,34 @@ def test_kde_ext_crs_parity(spark, pts, pts_pdf):
         assert math.isclose(got[key], want[key], rel_tol=1e-9), key
 
 
+def test_kde_datum_shifted_crs_parity(spark, pts, pts_pdf):
+    """KDE through a datum-SHIFTED CRS (EPSG:23032, ED50/UTM 32N — r5
+    Helmert path): the full chain geodetic→geocentric→Helmert→geodetic→
+    Krüger TM runs inside the binning codegen stage and must match the
+    numpy-twin projection bin-for-bin, proving DatumShifted projections
+    plug into operators exactly like every other CRS."""
+    from geowave_spark.crs import crs_extent, transform_np
+
+    level = 4
+    code = "EPSG:23032"
+    nx, ny = 1 << (level + 1), 1 << level
+    got = {(r["cx"], r["cy"]): r["weight"] for r in kde(pts, level, crs=code).collect()}
+    minx, miny, maxx, maxy = crs_extent(code)
+    X, Y = transform_np(pts_pdf["lon"].to_numpy(), pts_pdf["lat"].to_numpy(), "EPSG:4326", code)
+    grid = np.zeros((nx, ny))
+    px = np.clip(np.floor((X - minx) / (maxx - minx) * nx).astype(int), 0, nx - 1)
+    py = np.clip(np.floor((Y - miny) / (maxy - miny) * ny).astype(int), 0, ny - 1)
+    for dx, dy, w in gaussian_stencil():
+        cx = px + dx
+        cy = py + dy
+        m = (cx >= 0) & (cx < nx) & (cy >= 0) & (cy < ny)
+        np.add.at(grid, (cx[m], cy[m]), w)
+    want = {(i, j): grid[i, j] for i in range(nx) for j in range(ny) if grid[i, j] > 0}
+    assert set(got) == set(want)
+    for key in want:
+        assert math.isclose(got[key], want[key], rel_tol=1e-9), key
+
+
 def test_kde_distributed_percentile(spark):
     """A level-12 grid routes through the bucketed two-pass rank: no
     single-partition window exchange in the executed plan, and pct equals
