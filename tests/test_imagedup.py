@@ -225,6 +225,41 @@ class TestPairs:
         assert got == want
         assert len(want) >= 10
 
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
+    def test_first_match_filter_random_dm_sweep(self, spark, seed):
+        """Randomized (d, m) sweep of the first-matching-band dedup (r5):
+        for arbitrary band geometry — including k that doesn't divide 64
+        and m = k (every block in one band) — the filter must reproduce
+        the brute pairwise-popcount row set exactly, each pair once."""
+        rng = np.random.default_rng(7000 + seed)
+        d = int(rng.integers(1, 9))
+        m = int(rng.integers(1, 4))
+        n = 150
+        base = rng.integers(0, 2**63, size=n, dtype=np.int64)
+        for t in range(25):
+            flips = rng.integers(0, 64, size=rng.integers(0, d + 2))
+            v = base[t]
+            for f in flips.tolist():
+                v ^= np.int64(np.uint64(1) << np.uint64(f))
+            base[n - 1 - t] = v
+        pdf = pd.DataFrame({"_id": np.arange(n, dtype=np.int64), "_sig": base})
+        got = sorted(
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in hamming_pairs(
+                spark.createDataFrame(pdf), d, blocks_per_key=m
+            ).collect()
+        )
+        u = base.astype(np.uint64)
+        want = []
+        for i in range(n):
+            x = u[i] ^ u[i + 1 :]
+            dist = np.array([_popcount(int(v)) for v in x])
+            for off in np.nonzero(dist <= d)[0]:
+                want.append((i, i + 1 + int(off), int(dist[off])))
+        assert got == sorted(want), (d, m)
+        # each pair exactly once: collect() already proves no dupes via
+        # the sorted-list equality against the dedup-free brute oracle
+
     @pytest.mark.parametrize("d", [1, 3, 7])
     def test_hamming_pairs_generic_brute(self, spark, d):
         n = 300
